@@ -1,0 +1,200 @@
+"""Hierarchical solver parameter tree.
+
+TPU-native re-design of the reference's config system
+(reference: src/parameters.jl:4-282 — `Class_parameters` with sub-structs
+`term`, `init`, `delta`, `ls`, `kkt`, `test`).  Defaults match the reference
+exactly so that iteration-for-iteration parity is achievable.
+
+Overrides use string paths with either ``!`` (reference JuMP syntax,
+src/JuMPinterface.jl:570-586) or ``.`` as separator, e.g.::
+
+    pars = Params().with_overrides({"term!max_it": 100, "ls.dual_ls": 2})
+
+Parameters are plain Python values (static under jit): changing them
+triggers recompilation, which matches how they are used (per-campaign).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Dict
+
+
+@dataclass(frozen=True)
+class KKTParams:
+    """KKT/linear-solver options (reference: src/parameters.jl:4-46)."""
+
+    it_refine_num: int = 3            # fixed-count iterative refinement (schur.jl:158)
+    it_refine_highprec: bool = False  # f64-compensated residual accumulation (ref: BigFloat)
+    kkt_solver_type: str = "schur"    # schur | symmetric (reference default :schur)
+    linear_solver_type: str = "xla"   # xla | pallas  (reference: julia/HSL/mumps)
+    kkt_system_rescale: str = "none"
+    # relative pivot tolerance for the Cholesky inertia test: reject the
+    # factorization when min(pivot)^2 <= tol * max(pivot)^2 (emulates sparse
+    # CHOLMOD/MA97 failure on numerically singular systems, julia.jl:70-90)
+    chol_pivot_tol: float = 1e-15
+
+
+@dataclass(frozen=True)
+class LineSearchParams:
+    """Line-search parameters (reference: src/parameters.jl:48-104)."""
+
+    kkt_reduction_factor: float = 0.2
+    kkt_include_comp: bool = True
+    filter_type: str = "test2"
+    predict_reduction_factor: float = 0.1
+    fraction_to_boundary: float = 0.1
+    fraction_to_boundary_predict: float = 0.2
+    fraction_to_boundary_linear: float = 0.1
+    fraction_to_boundary_predict_exp: float = 0.5
+    backtracking_factor: float = 0.5
+    num_backtracks: int = 60
+    agg_gamma: str = "mehrotra_stb"   # mehrotra | mehrotra_stb | affine | constant
+    move_primal_seperate_to_dual: bool = True
+    dual_ls: int = 1
+    comp_feas: float = 1.0 / 100.0
+    comp_feas_agg: float = 1.0 / 50.0
+    min_step_size_stable: float = 0.5 ** 5.0
+    min_step_size_agg_ratio: float = 1e-4
+
+
+@dataclass(frozen=True)
+class TermParams:
+    """Termination criteria (reference: src/parameters.jl:110-136)."""
+
+    max_it: int = 3000
+    max_time: float = 3600.0
+    tol_opt: float = 1e-6
+    tol_unbounded: float = 1e-12
+    grad_max: float = math.inf
+    tol_inf_1: float = 1e-3
+    tol_inf_2: float = 1e-6
+    dual_scale_threshold: float = 100.0
+    dual_scale_mode: str = "max_dual"  # max_dual | ipopt | sqrt | exact | primal_dual
+
+
+@dataclass(frozen=True)
+class DeltaParams:
+    """Hessian-perturbation (inertia) parameters (reference: src/parameters.jl:138-159)."""
+
+    max: float = 1e50
+    start: float = 1e-6
+    dec: float = 1.0 / math.pi
+    inc: float = 8.0
+    zero: float = 0.0
+    min: float = 1e-12
+    # static bound on factorization attempts inside the jitted inertia search
+    # (reference MAX_IT=500, delta_strategy.jl:40; 8^70 from 1e-12 covers 1e50)
+    max_it: int = 80
+
+
+@dataclass(frozen=True)
+class InitParams:
+    """Initialization parameters (reference: src/parameters.jl:162-202, :standard mode)."""
+
+    mu_scale: float = 1.0
+    mehotra_scaling: bool = True
+    init_style: str = "gertz"          # gertz | mehrotra
+    start_satisfying_bounds: bool = True
+    dual_threshold: float = 1.0
+    linear_scale: float = 1.0
+    nl_ineq_scale: float = 1.0
+    nl_eq_scale: float = 1.0
+    dual_max: float = 1e3
+    dual_min: float = 1e-2
+
+
+@dataclass(frozen=True)
+class TestingParams:
+    """Failure-response switches (reference: src/parameters.jl:204-213)."""
+
+    response_to_failure: str = "lag_delta_inc"  # lag_delta_inc | default
+
+
+@dataclass(frozen=True)
+class Params:
+    """Top-level parameter tree (reference: src/parameters.jl:215-282)."""
+
+    term: TermParams = field(default_factory=TermParams)
+    init: InitParams = field(default_factory=InitParams)
+    delta: DeltaParams = field(default_factory=DeltaParams)
+    ls: LineSearchParams = field(default_factory=LineSearchParams)
+    kkt: KKTParams = field(default_factory=KKTParams)
+    test: TestingParams = field(default_factory=TestingParams)
+
+    output_level: int = 2
+    debug_mode: int = 0
+    throw_error_nans: bool = False
+
+    aggressive_dual_threshold: float = 1.0   # kappa_1
+    primal_bounds_dual_feas: bool = False
+    max_it_corrections: int = 2
+    superlinear_theory_mode: bool = False
+    agg_protection_factor: float = 0.9
+    kkt_include_comp: bool = True
+    a_norm_penalty: float = 1e-4
+    eps_mach: float = 1e-16
+
+    # TPU-build additions (no reference counterpart):
+    # number of outer iterations executed per jitted chunk (wall-clock /
+    # progress-printing granularity; does not affect the algorithm).
+    chunk_size: int = 50
+    # bound on step attempts with delta escalation (reference hardcodes 100,
+    # one_phase.jl:221)
+    max_step_attempts: int = 100
+    # history ring capacity; >= max_it * max_it_corrections + 1 records kept.
+    history_capacity: int = 0  # 0 -> auto
+
+    def with_overrides(self, options: Dict[str, Any]) -> "Params":
+        """Apply ``{"a!b": v}`` / ``{"a.b": v}`` path overrides (ref: create_pars_JuMP)."""
+        out = self
+        for key, val in options.items():
+            parts = key.replace("!", ".").split(".")
+            out = _set_path(out, parts, val)
+        return out
+
+    def flat(self) -> Dict[str, Any]:
+        """Flatten to {'a.b': value} for dumping (reference: write_pars)."""
+        res: Dict[str, Any] = {}
+
+        def rec(obj, prefix):
+            for f in fields(obj):
+                v = getattr(obj, f.name)
+                if dataclasses.is_dataclass(v):
+                    rec(v, prefix + f.name + ".")
+                else:
+                    res[prefix + f.name] = v
+
+        rec(self, "")
+        return res
+
+    def write_pars(self, stream) -> None:
+        """Dump the parameter tree to a stream (reference: parameters.jl:215-300)."""
+        stream.write("PAR\tVALUE\n")
+        for k, v in self.flat().items():
+            stream.write(f"{k:<44}\t{v}\n")
+
+
+def _set_path(obj, parts, val):
+    name = parts[0]
+    if not hasattr(obj, name):
+        raise KeyError(f"unknown parameter path component: {name!r}")
+    if len(parts) == 1:
+        cur = getattr(obj, name)
+        if cur is not None and not isinstance(val, type(cur)):
+            # coerce int->float etc. but reject nonsense
+            if isinstance(cur, float) and isinstance(val, (int, float)):
+                val = float(val)
+            elif isinstance(cur, int) and isinstance(val, int):
+                pass
+            elif isinstance(cur, bool) and isinstance(val, bool):
+                pass
+            elif isinstance(cur, str) and isinstance(val, str):
+                pass
+            else:
+                raise TypeError(f"parameter {name}: expected {type(cur).__name__}, got {type(val).__name__}")
+        return replace(obj, **{name: val})
+    sub = getattr(obj, name)
+    return replace(obj, **{name: _set_path(sub, parts[1:], val)})

@@ -1,0 +1,965 @@
+"""One-phase IPM core: the complete algorithm as jittable pure functions.
+
+TPU-native redesign of the reference's L3-L5 layers:
+
+- KKT solve: primal Schur complement + Cholesky with fixed-count iterative
+  refinement (reference: src/kkt_system_solver/schur.jl, system_rhs.jl)
+- inertia-correcting delta search (reference: src/IPM/delta_strategy.jl:37-114)
+- aggressive/stabilization switching + Mehrotra gamma probe
+  (reference: src/IPM/one_phase.jl:91-108, take_step.jl:2-75)
+- fraction-to-boundary backtracking line search with the one-phase nonlinear
+  slack update ``s = a(x+) - beta * r0`` and dual-interval least-squares dual
+  step (reference: src/line_search/*.jl)
+- four-certificate termination (reference: src/IPM/terminate.jl:3-23)
+- Gertz-style initialization (reference: src/init/gertz_init.jl)
+
+Everything is traced once: the main loop is a `lax.while_loop` over outer
+iterations; all inner loops (delta search, step attempts, backtracking) are
+bounded `lax.while_loop`s, mirroring the reference's explicit bounds
+(500 factorizations, 100 step attempts, 60 backtracks).
+
+Deliberate deviations from the reference (documented where they occur):
+- NaN in a Newton direction is handled as a failed step attempt (delta
+  escalation) instead of a hard error.
+- wall-clock (`max_time`) is enforced by the Python driver between jitted
+  chunks of outer iterations, keeping the compiled region pure.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Params
+from ..nlp import CanonNLP
+from . import history as hist_mod
+from .state import (Cache, Dir, Factor, Filter, History, LSInfo, Point, State,
+                    DUAL_INFEASIBLE, LS_DUAL_INFEASIBLE, LS_MAX_LS_IT,
+                    LS_MIN_ALPHA, LS_NAN_DIR, LS_NAN_ERR, LS_NONE,
+                    LS_NOT_ENOUGH_PROGRESS, LS_PREDICT_RED_NON_NEG, LS_S_BOUND,
+                    LS_SUCCESS, MAX_DELTA, MAX_GRADIENT, MAX_IT, OPTIMAL,
+                    PRIMAL_INFEASIBLE, RUNNING)
+
+# step-type codes for history
+STEP_IT0 = 0
+STEP_AGG = 1
+STEP_STB = 2
+
+
+def _norm_inf(v):
+    return jnp.max(jnp.abs(v)) if v.size else jnp.asarray(0.0, v.dtype)
+
+
+def _norm1(v):
+    return jnp.sum(jnp.abs(v))
+
+
+def _isbad(v):
+    return jnp.any(~jnp.isfinite(v))
+
+
+class OnePhaseKernel:
+    """Pure-function solver kernel for one canonical problem + parameter set."""
+
+    def __init__(self, nlp: CanonNLP, pars: Params):
+        self.nlp = nlp
+        self.pars = pars
+        self.dtype = nlp.dtype
+        n, m = nlp.n, nlp.m
+        self.n, self.m = n, m
+
+        # per-row fraction-to-boundary vectors (Class_iterate.jl:66-67;
+        # linear rows relaxed in mehrotra_init, init.jl:78-79)
+        import numpy as np
+        fb = np.full(m, pars.ls.fraction_to_boundary)
+        fbp = np.full(m, pars.ls.fraction_to_boundary_predict)
+        if pars.init.init_style == "mehrotra":
+            fb[nlp.lin_mask] = pars.ls.fraction_to_boundary_linear
+            fbp[nlp.lin_mask] = pars.ls.fraction_to_boundary_linear
+        self.frac_bd = jnp.asarray(fb, self.dtype)
+        self.frac_bd_predict = jnp.asarray(fbp, self.dtype)
+
+        cap_hint = pars.history_capacity
+        self.hist_cap = cap_hint if cap_hint > 0 else (
+            pars.term.max_it * pars.max_it_corrections + 2)
+        self.filt_cap = pars.term.max_it * pars.max_it_corrections + 2
+
+        self.run_chunk = jax.jit(self._run_chunk)
+        self.initial_state = jax.jit(self._initial_state)
+
+    # ==================================================================
+    # residual / merit evaluations (reference: src/utils/eval.jl)
+    # ==================================================================
+    def grad_lag(self, cache: Cache, y_unused, mu):
+        """∇L(x, y, mu) = g - J^T y + mu * theta * J^T 1 (eval.jl:136-142)."""
+        th = self.pars.a_norm_penalty
+        return cache.g - cache.jt_y + mu * th * cache.jt_ones
+
+    def dual_scale(self, y):
+        """(IPM_tools.jl:8-22), default :max_dual mode."""
+        mode = self.pars.term.dual_scale_mode
+        thr = self.pars.term.dual_scale_threshold
+        ninf = _norm_inf(y)
+        if mode == "max_dual":
+            return thr / jnp.maximum(ninf, thr)
+        if mode == "ipopt":
+            return thr / jnp.maximum(jnp.mean(y), thr)
+        if mode == "sqrt":
+            return thr / jnp.maximum(jnp.sqrt(ninf), thr)
+        if mode == "exact":
+            return jnp.asarray(1.0, self.dtype)
+        raise ValueError(f"dual_scale_mode {mode}")
+
+    def comp(self, p: Point):
+        return p.s * p.y - p.mu
+
+    def is_feasible(self, p: Point, comp_feas):
+        """Interior invariant (IPM_tools.jl:51-64). NaN-safe (False on NaN)."""
+        sy = p.s * p.y
+        ok = (jnp.all(p.s > 0.0) & jnp.all(p.y > 0.0)
+              & (jnp.max(sy) / p.mu <= 1.0 / comp_feas)
+              & (jnp.min(sy) / p.mu >= comp_feas))
+        finite = jnp.isfinite(p.mu) & ~_isbad(p.s) & ~_isbad(p.y) & ~_isbad(p.x)
+        return ok & finite
+
+    def eval_phi(self, p: Point, cache: Cache, mu):
+        """Shifted log barrier phi_mu (eval.jl:118-124)."""
+        th = self.pars.a_norm_penalty
+        safe_s = jnp.where(p.s > 0.0, p.s, 1.0)
+        val = cache.fval - mu * jnp.sum(jnp.log(safe_s)) + mu * th * jnp.sum(cache.a)
+        return jnp.where(jnp.all(p.s > 0.0), val, jnp.inf)
+
+    def eval_merit(self, p: Point, cache: Cache):
+        """phi + ||comp||_inf^3 / mu^2, Inf outside interior (eval.jl:172-184)."""
+        pen = _norm_inf(self.comp(p)) ** 3 / p.mu ** 2
+        val = self.eval_phi(p, cache, p.mu) + pen
+        return jnp.where(self.is_feasible(p, self.pars.ls.comp_feas), val, jnp.inf)
+
+    def merit_diff(self, p, cache, pc: Point, cc: Cache):
+        """eval_merit_function_difference (eval.jl:192-208): uses candidate mu
+        for the phi terms and current mu^2 for the comp penalty."""
+        mu_c = pc.mu
+        th = self.pars.a_norm_penalty
+        fdiff = cc.fval - cache.fval
+        rdiff = mu_c * th * (jnp.sum(cc.a) - jnp.sum(cache.a))
+        safe = jnp.where((pc.s > 0) & (p.s > 0), pc.s / p.s, 1.0)
+        logdiff = -mu_c * jnp.sum(jnp.log(safe))
+        comp_pen = (_norm_inf(self.comp(pc)) ** 3 - _norm_inf(self.comp(p)) ** 3) / p.mu ** 2
+        val = fdiff + rdiff + logdiff + comp_pen
+        feas = self.is_feasible(pc, self.pars.ls.comp_feas) & jnp.all(pc.s > 0)
+        return jnp.where(feas, val, jnp.inf)
+
+    def scaled_dual_feas(self, p: Point, cache: Cache, mu):
+        return _norm_inf(self.grad_lag(cache, p.y, mu)) * self.dual_scale(p.y)
+
+    def kkt_err(self, p: Point, cache: Cache):
+        """scaled_dual_feas + ||comp||_inf (eval.jl:274-277)."""
+        return self.scaled_dual_feas(p, cache, p.mu) + _norm_inf(self.comp(p))
+
+    # ==================================================================
+    # cache construction
+    # ==================================================================
+    def make_cache(self, x, y):
+        nlp = self.nlp
+        cons = nlp.c(x)
+        a = nlp.a_of(x, cons)
+        fval = nlp.f(x)
+        g = nlp.grad_f(x)
+        jt_y = nlp.jtprod(x, y)
+        jt_ones = nlp.jtprod_ones(x)
+        return Cache(fval=fval, cons=cons, a=a, g=g, jt_y=jt_y, jt_ones=jt_ones)
+
+    # ==================================================================
+    # linear algebra: factor + solve (reference: julia.jl:21-97 via CHOLMOD)
+    # ==================================================================
+    def factor(self, Q, delta):
+        """Cholesky of Q + delta*I; inertia == Cholesky success.
+
+        (reference: julia.jl:28-46 — CHOLMOD PosDefException => wrong inertia)
+
+        Dense LAPACK Cholesky "succeeds" on numerically singular matrices
+        where sparse CHOLMOD throws (a pivot that rounds to ~eps instead of
+        <= 0).  A relative pivot tolerance reproduces the sparse behavior:
+        reject when the smallest pivot is at machine-noise level relative to
+        the largest, since the resulting direction would be noise.
+        """
+        n = self.n
+        Qd = Q + delta * jnp.eye(n, dtype=Q.dtype)
+        L = jnp.linalg.cholesky(Qd)
+        d = jnp.diagonal(L)
+        finite = jnp.all(jnp.isfinite(d))
+        pos = jnp.all(d > 0)
+        rel_ok = jnp.min(d) ** 2 > self.pars.kkt.chol_pivot_tol * jnp.max(d) ** 2
+        return L, finite & pos & rel_ok
+
+    def chol_solve(self, L, b):
+        z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    # ==================================================================
+    # KKT system (reference: schur.jl)
+    # ==================================================================
+    def form_factor(self, p: Point, cache: Cache, prev: Factor) -> Factor:
+        """form_system! — Q = H_L + J^T diag(y/s) J (schur.jl:47-62).
+
+        H uses shifted duals y + mu*theta (update_H!, Class_iterate.jl:279-311).
+        """
+        nlp = self.nlp
+        y_eff = p.y + p.mu * self.pars.a_norm_penalty
+        H = nlp.lag_hess(p.x, y_eff)
+        Jc = nlp.jac_orig(p.x)
+        Q = H + nlp.jtdj(Jc, p.y / p.s)
+        return Factor(Jc=Jc, H=H, Q=Q, schur_diag=jnp.diagonal(Q),
+                      L=prev.L, delta=prev.delta, s_f=p.s, y_f=p.y,
+                      ok=jnp.asarray(False))
+
+    def refine_solve(self, fact: Factor, schur_rhs):
+        """Fixed-count iterative refinement (schur.jl:131-182)."""
+        nlp = self.nlp
+        S_vec = fact.y_f / fact.s_f
+        dx = jnp.zeros_like(schur_rhs)
+        res = schur_rhs
+        for _ in range(self.pars.kkt.it_refine_num):
+            dx = dx + self.chol_solve(fact.L, res)
+            jac_res = nlp.jtprod_mat(fact.Jc, S_vec * nlp.jprod_mat(fact.Jc, dx))
+            hess_res = fact.H @ dx + fact.delta * dx
+            res = schur_rhs - (jac_res + hess_res)
+        return dx
+
+    def build_rhs(self, p: Point, cache: Cache, eta_P, eta_D, eta_mu):
+        """System_rhs (system_rhs.jl:39-74)."""
+        dual_r = -(1.0 - eta_D) * self.grad_lag(cache, p.y, p.mu * eta_mu)
+        primal_r = -(1.0 - eta_P) * (cache.a - p.s)
+        comp_r = p.mu * eta_mu - p.s * p.y
+        return dual_r, primal_r, comp_r
+
+    def compute_direction(self, fact: Factor, p: Point, cache: Cache,
+                          eta_P, eta_D, eta_mu) -> Tuple[Dir, jnp.ndarray]:
+        """compute_direction_implementation! (schur.jl:89-128) + KKT error."""
+        nlp = self.nlp
+        dual_r, primal_r, comp_r = self.build_rhs(p, cache, eta_P, eta_D, eta_mu)
+        y_f, s_f = fact.y_f, fact.s_f
+        S_vec = y_f / s_f
+        sym_primal = primal_r + comp_r / y_f
+        schur_rhs = dual_r + nlp.jtprod_mat(fact.Jc, primal_r * S_vec + comp_r / s_f)
+        dx = self.refine_solve(fact, schur_rhs)
+        jdx = nlp.jprod_mat(fact.Jc, dx)
+        dy = -(jdx - sym_primal) * S_vec
+        ds = jdx - primal_r
+        dmu = -(1.0 - eta_mu) * p.mu
+        dbeta = -(1.0 - eta_P) * p.beta
+        direction = Dir(x=dx, y=dy, s=ds, mu=dmu, beta=dbeta)
+
+        # a-posteriori KKT error ratio (kkt_system_solver.jl:49-96)
+        pred_lag = (fact.delta * dx + fact.H @ dx - nlp.jtprod_mat(fact.Jc, dy))
+        err_D = pred_lag - dual_r
+        err_P = jdx - ds - primal_r
+        err_mu = s_f * dy + y_f * ds - comp_r
+        overall = _norm_inf(jnp.concatenate([err_D, err_P, err_mu]))
+        rhs_norm = _norm_inf(jnp.concatenate([dual_r, primal_r, comp_r]))
+        ratio = overall / rhs_norm
+        return direction, ratio
+
+    # ==================================================================
+    # delta / inertia strategy (reference: delta_strategy.jl:37-121)
+    # ==================================================================
+    def ipopt_strategy(self, fact: Factor, iter_delta):
+        """Returns (success, num_fac, new_delta, L, ok)."""
+        pars = self.pars
+        DELTA_MIN = pars.delta.min
+        DELTA_MAX = pars.delta.max
+        dt = self.dtype
+
+        tau = 1.5 * jnp.min(fact.schur_diag)
+        try_zero = tau > 0.0
+
+        def do_zero(_):
+            L0, ok0 = self.factor(fact.Q, jnp.asarray(pars.delta.zero, dt))
+            return L0, ok0, jnp.asarray(1, jnp.int32)
+
+        def no_zero(_):
+            return fact.L, jnp.asarray(False), jnp.asarray(0, jnp.int32)
+
+        L, ok0, nfac = lax.cond(try_zero, do_zero, no_zero, None)
+        tau_eff = jnp.where(try_zero, 0.0, tau)
+
+        delta_first = jnp.where(
+            iter_delta != 0.0,
+            jnp.maximum(DELTA_MIN - tau_eff, iter_delta * pars.delta.dec),
+            pars.delta.start - tau_eff)
+
+        def cond(c):
+            delta, L, ok, nfac, i = c
+            return (~ok) & (i < pars.delta.max_it) & (delta <= DELTA_MAX)
+
+        def body(c):
+            delta, L, ok, nfac, i = c
+            Lc, okc = self.factor(fact.Q, delta)
+            # keep stale factor on failure (matches the Julia object semantics:
+            # a thrown PosDefException leaves the previous factor in place)
+            L = jnp.where(okc, Lc, L)
+            next_delta = jnp.where(okc, delta, delta * pars.delta.inc)
+            return (next_delta, L, okc, nfac + 1, i + 1)
+
+        init = (delta_first, L, ok0, nfac, jnp.asarray(0, jnp.int32))
+        delta, L, ok, nfac, _ = lax.while_loop(cond, body, init)
+
+        # zero-delta attempt succeeded -> loop never ran -> delta is delta.zero
+        final_delta = jnp.where(ok0, jnp.asarray(pars.delta.zero, dt), delta)
+        return ok, nfac, final_delta, L
+
+    # ==================================================================
+    # fraction-to-boundary helpers (reference: frac_boundary.jl)
+    # ==================================================================
+    def lb_s_thres(self, s, dx):
+        ex = self.pars.ls.fraction_to_boundary_predict_exp
+        nx = _norm_inf(dx)
+        return jnp.minimum(s, nx * nx ** ex)
+
+    def lb_s_predict(self, s, dx):
+        return self.frac_bd_predict * self.lb_s_thres(s, dx)
+
+    def lb_s(self, s, dx):
+        return self.frac_bd * self.lb_s_thres(s, dx)
+
+    def lb_y(self, y, dx):
+        return self.frac_bd * y * jnp.minimum(1.0, _norm_inf(dx))
+
+    @staticmethod
+    def simple_max_step(val, d, lb):
+        gap = val - lb
+        r = jnp.where(gap > 0, -d / jnp.where(gap > 0, gap, 1.0), jnp.inf)
+        ratio = jnp.maximum(1.0, jnp.max(r) if r.size else 0.0)
+        return 1.0 / ratio
+
+    # ==================================================================
+    # dual step machinery (reference: move.jl)
+    # ==================================================================
+    def dual_bounds(self, s_new, mu_new, y, dy):
+        """Interval [lb, ub] of dual step sizes keeping s.y/mu in
+        [comp_feas, 1/comp_feas] (move.jl:25-79), safety factor 1.001."""
+        cf = self.pars.ls.comp_feas
+        sf = 1.001
+        dy_safe = jnp.where(dy == 0, 1.0, dy)
+        ub_dyi = (mu_new / (cf * s_new) - y) / dy_safe
+        lb_dyi = (mu_new * cf / s_new - y) / dy_safe
+        pos = dy > 0
+        neg = dy < 0
+        lo_c = jnp.where(pos, lb_dyi * sf, jnp.where(neg, ub_dyi * sf, -jnp.inf))
+        hi_c = jnp.where(pos, ub_dyi / sf, jnp.where(neg, lb_dyi / sf, jnp.inf))
+        zero_bad = (dy == 0) & ((mu_new * cf / s_new - y >= 0.0)
+                                | (mu_new / (cf * s_new) - y <= 0.0))
+        lb = jnp.maximum(0.0, jnp.max(lo_c))
+        ub = jnp.minimum(1.0, jnp.min(hi_c))
+        bad = jnp.any(zero_bad) | ~jnp.isfinite(lb) | ~jnp.isfinite(ub)
+        lb = jnp.where(bad, 0.0, lb)
+        ub = jnp.where(bad, -1.0, ub)
+        return lb, ub
+
+    # ==================================================================
+    # line search (reference: line_search.jl:36-199)
+    # ==================================================================
+    def line_search(self, st: State, direction: Dir, be_agg, min_step_size):
+        """Backtracking LS with nonlinear slack update and dual LS.
+
+        Returns (accepted: bool, new Point, new Cache, LSInfo).
+        """
+        nlp = self.nlp
+        pars = self.pars
+        p, cache = st.p, st.cache
+        dt = self.dtype
+
+        lb_sp = self.lb_s_predict(p.s, direction.x)
+        alpha0 = self.simple_max_step(p.s, direction.s, lb_sp)
+        lb_s_vec = self.lb_s(p.s, direction.x)
+        lb_y_vec = self.lb_y(p.y, direction.x)
+
+        # --- do_ls preconditions -------------------------------------
+        # filter/stable (Class_filter_ls, filter_ls.jl:14-42):
+        #   grad phi = grad_lag with y_tilde = mu/s
+        jt_mus = nlp.jtprod(p.x, p.mu / p.s)
+        grad_phi = cache.g - jt_mus + p.mu * pars.a_norm_penalty * cache.jt_ones
+        gdx = jnp.dot(grad_phi, direction.x)
+        do_ls_stb = gdx < 0.0
+        comp_merit = _norm_inf(self.comp(p)) ** 3 / p.mu ** 2
+        predict_red = -comp_merit + 0.5 * (gdx - st.delta * jnp.sum(direction.x ** 2))
+        cur_merit = self.eval_merit(p, cache)
+
+        # aggressive (Class_agg_ls, agg_ls.jl:9-33)
+        eta_probe = -direction.mu / p.mu
+        gam = 1.0 - eta_probe
+        r_P = cache.a - p.s
+        y_tilde = (gam * p.mu - eta_probe * p.y * r_P) / p.s
+        jt_yt = nlp.jtprod(p.x, y_tilde)
+        grad_lag_t = cache.g - jt_yt + p.mu * gam * pars.a_norm_penalty * cache.jt_ones
+        do_ls_agg = jnp.dot(grad_lag_t, direction.x) < 0.0
+
+        do_ls = jnp.where(be_agg, do_ls_agg, do_ls_stb)
+        # NaN direction: the reference errors (check_for_nan); we treat it as
+        # a failed step so the delta-escalation loop recovers.
+        dir_bad = _isbad(direction.x) | _isbad(direction.y) | _isbad(direction.s)
+        do_ls = do_ls & ~dir_bad
+
+        # carry: (alpha, i, status, alpha_D, cand_point, cand_cache)
+        zero_pt = p
+        zero_cache = cache
+
+        def trial(alpha):
+            """One backtracking trial. Returns (trial_status, suggested_alpha,
+            cand_point, cand_cache, alpha_D)."""
+            x_new = p.x + direction.x * alpha
+            # --- move_primal (move.jl:2-22) --------------------------
+            if nlp.m_orig > 0:
+                cons_new, pull = jax.vjp(nlp.c, x_new)
+            else:
+                cons_new = jnp.zeros((0,), dt)
+                pull = None
+            a_new = nlp.a_of(x_new, cons_new)
+            beta_new = p.beta + direction.beta * alpha
+            s_new = a_new - beta_new * st.r0
+            mu_new = p.mu + direction.mu * alpha
+            nan_move = _isbad(a_new)
+            s_ok = jnp.all(s_new >= lb_s_vec) & ~nan_move
+
+            # --- dual bounds (line_search.jl:100-118) ----------------
+            lb, ub = self.dual_bounds(s_new, mu_new, p.y, direction.y)
+            ub = jnp.minimum(ub, self.simple_max_step(p.y, direction.y, lb_y_vec))
+            dual_ok = lb < ub
+
+            # --- move_dual (move.jl:81-133), dual_ls default 1 -------
+            g_new = nlp.grad_f(x_new)
+
+            def jt(w):
+                wc, bnd = nlp.split_canonical(w)
+                if pull is not None:
+                    return pull(wc)[0] + bnd
+                return bnd
+
+            jt_y_old = jt(p.y)
+            jt_dy = jt(direction.y)
+            jt_ones_new = nlp.jtprod_ones(x_new) if nlp.m_orig > 0 else nlp._bnd_ones
+            th = pars.a_norm_penalty
+            dual_res = g_new - jt_y_old + mu_new * th * jt_ones_new
+            comp_new_old_y = s_new * p.y - mu_new
+            scale = self.dual_scale(p.y)  # dual_scale of candidate (y unchanged yet)
+            small_step = jnp.maximum(lb, jnp.minimum(ub, alpha))
+            if pars.ls.dual_ls in (1, 3):
+                qv = jnp.concatenate([scale * jt_dy, scale * s_new * direction.y])
+                res = jnp.concatenate([scale * dual_res, -scale * comp_new_old_y])
+                denom = jnp.sum(qv * qv)
+                alpha_D = jnp.where(denom > 0, jnp.sum(res * qv) / denom, ub)
+                alpha_D = jnp.clip(alpha_D, small_step, ub)
+            elif pars.ls.dual_ls == 0:
+                alpha_D = ub
+            else:  # dual_ls == 2 — kkt-err comparison variant
+                alpha_D = ub  # TODO(parity): implement dual_ls=2 comparison
+            y_new = p.y + direction.y * alpha_D
+            cand_p = Point(x=x_new, y=y_new, s=s_new, mu=mu_new, beta=beta_new)
+            feas_after = self.is_feasible(cand_p, pars.ls.comp_feas)
+
+            # --- candidate cache -------------------------------------
+            jt_y_new = jt_y_old + alpha_D * jt_dy
+            fval_new = nlp.f(x_new)
+            cand_c = Cache(fval=fval_new, cons=cons_new, a=a_new, g=g_new,
+                           jt_y=jt_y_new, jt_ones=jt_ones_new)
+            nan_any = nan_move | _isbad(g_new) | _isbad(fval_new)
+
+            # --- acceptance ------------------------------------------
+            # stable part (accept_func_stable!, stable_ls.jl:34-64)
+            actual_red = self.merit_diff(p, cache, cand_p, cand_c)
+            frac = actual_red / (predict_red * alpha)
+            stable_ok = ((predict_red < 0.0) & (actual_red <= 0.0)
+                         & (frac > pars.ls.predict_reduction_factor))
+            # filter fallback (accept_func_kkt!, satisfies_filter! test2)
+            cand_merit = self.eval_merit(cand_p, cand_c)
+            cand_kkt = _norm_inf(self.grad_lag(cand_c, y_new, mu_new))
+            if pars.ls.kkt_include_comp:
+                cand_kkt = cand_kkt + _norm_inf(self.comp(cand_p))
+            cand_kkt = cand_kkt * self.dual_scale(y_new)
+            filt = st.filt
+            idx = jnp.arange(self.filt_cap)
+            live = idx < filt.count
+            kkt_red = cand_kkt / filt.kkt < (1.0 - pars.ls.kkt_reduction_factor * alpha)
+            fval_no_inc = cand_merit < filt.merit + jnp.sqrt(cand_kkt)
+            beta_dec = cand_p.beta < filt.beta
+            if pars.ls.filter_type == "test2":
+                entry_ok = beta_dec | (kkt_red & fval_no_inc)
+            elif pars.ls.filter_type == "default":
+                entry_ok = beta_dec | kkt_red
+            elif pars.ls.filter_type == "test1":
+                fval_red = cand_merit < filt.merit - cand_kkt ** 2
+                entry_ok = beta_dec | kkt_red | fval_red
+            else:  # test3
+                net = cand_kkt + cand_merit < filt.merit + filt.kkt - cand_kkt ** 2
+                entry_ok = beta_dec | net
+            filter_ok = jnp.all(entry_ok | ~live)
+            stb_accept = stable_ok | filter_ok
+
+            # aggressive acceptance (agg_ls.jl:36-48)
+            sdf_cand = self.scaled_dual_feas(cand_p, cand_c, mu_new)
+            apf = pars.agg_protection_factor
+            tau = mu_new / (sdf_cand * (1.0 - apf))
+            agg_accept = (mu_new / p.mu >= 1.0 - apf) | (tau >= 1.0)
+            agg_suggest = jnp.maximum(apf ** 2, alpha * tau ** 2)
+
+            accept = jnp.where(be_agg, agg_accept, stb_accept)
+            accept = accept & s_ok & dual_ok & feas_after & ~nan_any
+
+            status = jnp.where(
+                accept, LS_SUCCESS,
+                jnp.where(nan_any, LS_NAN_ERR,
+                          jnp.where(~s_ok, LS_S_BOUND,
+                                    jnp.where(~dual_ok | ~feas_after,
+                                              LS_DUAL_INFEASIBLE,
+                                              LS_NOT_ENOUGH_PROGRESS))))
+            bt = alpha * pars.ls.backtracking_factor
+            suggested = jnp.where(be_agg & (status == LS_NOT_ENOUGH_PROGRESS),
+                                  agg_suggest, bt)
+            return (status.astype(jnp.int32), suggested.astype(dt),
+                    cand_p, cand_c, alpha_D.astype(dt))
+
+        def cond(c):
+            alpha, i, status, alpha_D, _, _ = c
+            running = (status != LS_SUCCESS) & (status != LS_MIN_ALPHA)
+            return running & (i < pars.ls.num_backtracks)
+
+        def body(c):
+            alpha, i, status, alpha_D, cp, cc = c
+            below = alpha < min_step_size
+
+            def run(_):
+                tstat, sugg, tp, tc, aD = trial(alpha)
+                return (sugg, i + 1, tstat, aD, tp, tc)
+
+            def stop(_):
+                return (alpha, i, jnp.asarray(LS_MIN_ALPHA, jnp.int32), alpha_D, cp, cc)
+
+            return lax.cond(below, stop, run, None)
+
+        init = (jnp.asarray(alpha0, dt), jnp.asarray(0, jnp.int32),
+                jnp.asarray(LS_NONE, jnp.int32), jnp.asarray(0.0, dt),
+                zero_pt, zero_cache)
+
+        def no_ls(_):
+            a, i, stt, aD, cp, cc = init
+            return (a, i, jnp.asarray(LS_PREDICT_RED_NON_NEG, jnp.int32), aD, cp, cc)
+
+        def do_search(_):
+            out = lax.while_loop(cond, body, init)
+            alpha, i, status, aD, cp, cc = out
+            status = jnp.where((status != LS_SUCCESS) & (status != LS_MIN_ALPHA)
+                               & (status != LS_PREDICT_RED_NON_NEG),
+                               LS_MAX_LS_IT, status)
+            return (alpha, i, status, aD, cp, cc)
+
+        alpha, nsteps, status, alpha_D, cand_p, cand_c = lax.cond(
+            do_ls, do_search, no_ls, None)
+
+        accepted = status == LS_SUCCESS
+        info = LSInfo(status=status, alpha_P=alpha, alpha_D=alpha_D,
+                      num_steps=nsteps)
+        return accepted, cand_p, cand_c, info
+
+    # ==================================================================
+    # take_step (reference: take_step.jl:34-75 + probe :2-17)
+    # ==================================================================
+    def take_step(self, st: State, be_agg):
+        """One direction + line search. Returns (accepted, new_p, new_c,
+        LSInfo, Dir, kkt_ratio, eta(3,))."""
+        pars = self.pars
+        p, cache = st.p, st.cache
+        dt = self.dtype
+
+        def agg_factors(_):
+            # Mehrotra probe: affine direction, max sigma step
+            adir, _ = self.compute_direction(st.fact, p, cache, 0.0, 0.0, 0.0)
+            lb_sp = self.lb_s_predict(p.s, adir.x)
+            a_s = self.simple_max_step(p.s, adir.s, lb_sp)
+            a_y = self.simple_max_step(p.y, adir.y, jnp.zeros_like(p.y))
+            sigma = jnp.minimum(a_s, a_y)
+            gamma = jnp.minimum(0.5, (1.0 - sigma) ** 2)
+            if pars.ls.agg_gamma == "mehrotra":
+                e = jnp.stack([gamma, gamma, gamma])
+            elif pars.ls.agg_gamma == "mehrotra_stb":
+                e = jnp.stack([gamma, jnp.asarray(0.0, dt), gamma])
+            elif pars.ls.agg_gamma == "affine":
+                e = jnp.zeros(3, dt)
+            else:  # constant
+                e = jnp.asarray([0.2, 0.0, 0.2], dt)
+            r_P = cache.a - p.s
+            ms = pars.ls.min_step_size_agg_ratio * jnp.minimum(
+                1.0, 1.0 / jnp.max(-r_P / p.s))
+            return e, ms
+
+        def stb_factors(_):
+            e = jnp.asarray([1.0, 0.0, 1.0], dt)
+            return e, jnp.asarray(pars.ls.min_step_size_stable, dt)
+
+        eta, min_step = lax.cond(be_agg, agg_factors, stb_factors, None)
+        direction, ratio = self.compute_direction(
+            st.fact, p, cache, eta[0], eta[1], eta[2])
+
+        accepted, cand_p, cand_c, info = self.line_search(
+            st, direction, be_agg, min_step)
+        return accepted, cand_p, cand_c, info, direction, ratio, eta
+
+    # ==================================================================
+    # switching condition (reference: one_phase.jl:91-108)
+    # ==================================================================
+    def switching_condition(self, st: State):
+        pars = self.pars
+        p, cache = st.p, st.cache
+        is_feas = self.is_feasible(p, pars.ls.comp_feas_agg)
+        dual_avg = self.scaled_dual_feas(p, cache, p.mu)
+        if pars.primal_bounds_dual_feas:
+            prog = dual_avg < pars.aggressive_dual_threshold * _norm_inf(cache.a - p.s)
+        else:
+            prog = dual_avg < pars.aggressive_dual_threshold * p.mu
+        th = pars.a_norm_penalty
+        lag_grad = (_norm1(self.grad_lag(cache, p.y, p.mu))
+                    < jnp.sum(p.s * p.y) + _norm1(cache.g + p.mu * th * cache.jt_ones))
+        be = is_feas & prog & lag_grad
+        be = be | (st.last_superlinear & prog & lag_grad)
+        return be
+
+    # ==================================================================
+    # termination (reference: terminate.jl:3-23)
+    # ==================================================================
+    def terminate(self, p: Point, cache: Cache):
+        pars = self.pars
+        scale = self.dual_scale(p.y)
+        sdf0 = _norm_inf(cache.g - cache.jt_y) * scale
+        comp_scaled = jnp.max(p.s * p.y) * scale
+        max_vio = -jnp.minimum(0.0, jnp.min(cache.a))
+        jt_y_1 = _norm1(cache.jt_y)
+        feas_obj = -jnp.sum(cache.a * p.y)
+        fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj, jnp.inf)
+        fark2 = (jt_y_1 + jnp.dot(p.s, p.y)) / _norm1(p.y)
+
+        tol = pars.term.tol_opt
+        optimal = (sdf0 < tol) & (comp_scaled < tol) & (max_vio < tol)
+        infeas = ((max_vio > tol) & (fark1 < pars.term.tol_inf_1)
+                  & (fark2 < pars.term.tol_inf_2))
+        unbounded = _norm_inf(p.x) > 1.0 / pars.term.tol_unbounded
+        maxgrad = _norm_inf(cache.g) > pars.term.grad_max
+
+        return jnp.where(
+            optimal, OPTIMAL,
+            jnp.where(infeas, PRIMAL_INFEASIBLE,
+                      jnp.where(unbounded, DUAL_INFEASIBLE,
+                                jnp.where(maxgrad, MAX_GRADIENT, RUNNING)))
+        ).astype(jnp.int32)
+
+    # ==================================================================
+    # filter bookkeeping (reference: filter_ls.jl:44-75)
+    # ==================================================================
+    def filter_add(self, st: State) -> Filter:
+        p, cache = st.p, st.cache
+        pars = self.pars
+        merit = self.eval_merit(p, cache)
+        kkt = _norm_inf(self.grad_lag(cache, p.y, p.mu))
+        if pars.ls.kkt_include_comp:
+            kkt = kkt + _norm_inf(self.comp(p))
+        kkt = kkt * self.dual_scale(p.y)
+        f = st.filt
+        i = jnp.minimum(f.count, self.filt_cap - 1)
+        return Filter(merit=f.merit.at[i].set(merit),
+                      kkt=f.kkt.at[i].set(kkt),
+                      beta=f.beta.at[i].set(p.beta),
+                      count=jnp.minimum(f.count + 1, self.filt_cap))
+
+    # ==================================================================
+    # one inner step (correction i of outer iteration t)
+    # ==================================================================
+    def inner_step(self, st: State, first: bool) -> State:
+        """reference: one_phase.jl:174-281 body."""
+        pars = self.pars
+        dt = self.dtype
+        be_agg = self.switching_condition(st)
+        # superlinear flag is consumed by the switching condition then reset
+        # (one_phase.jl:186-188)
+        st = st._replace(last_superlinear=jnp.asarray(False))
+
+        if first:
+            # -- factor at current point -------------------------------
+            fact = self.form_factor(st.p, st.cache, st.fact)
+            success, nfac_inertia, new_delta, L = self.ipopt_strategy(fact, st.delta)
+            fact = fact._replace(L=L, delta=new_delta, ok=success)
+            old_delta = st.delta
+            st = st._replace(fact=fact, delta=new_delta,
+                             num_fac_inertia=nfac_inertia,
+                             tot_num_fac=nfac_inertia)
+
+            def fact_failed(st):
+                return st._replace(status=jnp.asarray(MAX_DELTA, jnp.int32))
+
+            def attempt_phase(st):
+                # step attempts with delta escalation (one_phase.jl:221-258)
+                def cond(c):
+                    st_c, acc, k, dead = c
+                    return (~acc) & (~dead) & (k < pars.max_step_attempts)
+
+                def body(c):
+                    st_c, acc, k, dead = c
+                    accepted, cand_p, cand_c, info, direction, ratio, eta = \
+                        self.take_step(st_c, be_agg)
+
+                    def on_acc(args):
+                        st_c, = args
+                        return st_c._replace(
+                            p=cand_p, cache=cand_c, dir=direction,
+                            kkt_ratio=ratio, eta=eta, ls=info), False
+
+                    def on_fail(args):
+                        st_c, = args
+                        delta = st_c.delta
+                        can_escalate = delta < pars.delta.max
+                        gl = _norm_inf(self.grad_lag(st_c.cache, st_c.p.y, st_c.p.mu))
+                        dxn = _norm_inf(direction.x)
+                        lag_term = jnp.where((dxn > 0) & jnp.isfinite(gl / dxn),
+                                             gl / dxn, 0.0)
+                        if pars.test.response_to_failure == "lag_delta_inc":
+                            nd = jnp.maximum(
+                                lag_term,
+                                jnp.maximum(delta * pars.delta.inc,
+                                            jnp.maximum(pars.delta.start,
+                                                        old_delta * pars.delta.dec)))
+                        else:
+                            nd = jnp.maximum(delta * pars.delta.inc,
+                                             jnp.maximum(pars.delta.start,
+                                                         old_delta * pars.delta.dec))
+                        nd = jnp.where(can_escalate, nd, delta)
+                        Lc, okc = self.factor(st_c.fact.Q, nd)
+                        Lk = jnp.where(okc, Lc, st_c.fact.L)
+                        st2 = st_c._replace(
+                            delta=nd,
+                            fact=st_c.fact._replace(L=Lk, delta=nd),
+                            tot_num_fac=st_c.tot_num_fac + 1,
+                            dir=direction, kkt_ratio=ratio, eta=eta, ls=info)
+                        # dead when we cannot escalate further
+                        return st2, ~can_escalate
+
+                    st2, dead2 = lax.cond(accepted, on_acc, on_fail, (st_c,))
+                    return (st2, accepted, k + 1, dead2)
+
+                init = (st, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                        jnp.asarray(False))
+                st_f, acc, k, dead = lax.while_loop(cond, body, init)
+
+                # last resort (one_phase.jl:243-247): delta at max —
+                # reset duals y = mu / s if comp nonzero, else MAX_DELTA.
+                def last_resort(args):
+                    st_f, = args
+                    comp_big = _norm_inf(self.comp(st_f.p)) > 1e-14
+
+                    def dual_reset(st_f):
+                        y_new = st_f.p.mu / st_f.p.s
+                        p2 = st_f.p._replace(y=y_new)
+                        c2 = st_f.cache._replace(
+                            jt_y=self.nlp.jtprod(p2.x, y_new))
+                        return st_f._replace(p=p2, cache=c2, step_ok=jnp.asarray(True))
+
+                    def fail(st_f):
+                        return st_f._replace(
+                            status=jnp.asarray(MAX_DELTA, jnp.int32),
+                            step_ok=jnp.asarray(False))
+
+                    return lax.cond(comp_big, dual_reset, fail, st_f)
+
+                def normal(args):
+                    st_f, = args
+                    return st_f._replace(step_ok=acc)
+
+                return lax.cond(dead & ~acc, last_resort, normal, (st_f,))
+
+            st = lax.cond(success, attempt_phase, fact_failed, st)
+        else:
+            # corrections: reuse factorization (one_phase.jl:262-279)
+            accepted, cand_p, cand_c, info, direction, ratio, eta = \
+                self.take_step(st, be_agg)
+
+            def on_acc(st):
+                st2 = st._replace(p=cand_p, cache=cand_c, dir=direction,
+                                  kkt_ratio=ratio, eta=eta, ls=info,
+                                  step_ok=jnp.asarray(True))
+                if pars.superlinear_theory_mode:
+                    sl = be_agg & (cand_p.mu < st.p.mu * 0.1)
+                    st2 = st2._replace(last_superlinear=sl)
+                return st2
+
+            def on_fail(st):
+                return st._replace(dir=direction, kkt_ratio=ratio, eta=eta,
+                                   ls=info, step_ok=jnp.asarray(False))
+
+            st = lax.cond(accepted, on_acc, on_fail, st)
+
+        # filter update + termination + history (one_phase.jl:288-321)
+        st = st._replace(filt=self.filter_add(st), agg_mask=be_agg)
+        new_status = self.terminate(st.p, st.cache)
+        st = st._replace(status=jnp.where(st.status == RUNNING, new_status,
+                                          st.status))
+        step_type = jnp.where(be_agg, STEP_AGG, STEP_STB)
+        st = st._replace(hist=hist_mod.record(self, st, step_type))
+        return st
+
+    # ==================================================================
+    # outer iteration + chunk runner
+    # ==================================================================
+    def outer_iter(self, st: State) -> State:
+        for i in range(self.pars.max_it_corrections):
+            first = i == 0
+
+            def run(st):
+                return self.inner_step(st, first)
+
+            do = (st.status == RUNNING) & (st.step_ok if not first
+                                           else jnp.asarray(True))
+            st = lax.cond(do, run, lambda s: s, st)
+        return st._replace(t=st.t + 1)
+
+    def _run_chunk(self, st: State) -> State:
+        pars = self.pars
+
+        def cond(c):
+            st, k = c
+            return ((st.status == RUNNING) & (st.t <= pars.term.max_it)
+                    & (k < pars.chunk_size))
+
+        def body(c):
+            st, k = c
+            return self.outer_iter(st), k + 1
+
+        st, _ = lax.while_loop(cond, body, (st, jnp.asarray(0, jnp.int32)))
+        st = st._replace(status=jnp.where(
+            (st.status == RUNNING) & (st.t > pars.term.max_it),
+            MAX_IT, st.status).astype(jnp.int32))
+        return st
+
+    # ==================================================================
+    # initialization (reference: src/init/gertz_init.jl)
+    # ==================================================================
+    def project_bounds(self, x0):
+        """Ipopt-style projection into bounds (primal-project.jl:1-68)."""
+        nlp = self.nlp
+        lv = jnp.asarray(nlp.lvar, self.dtype)
+        uv = jnp.asarray(nlp.uvar, self.dtype)
+        k1 = 1e-2
+        k2 = 1e-2
+        p_L = jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(lv)), k2 * (uv - lv))
+        p_U = jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(uv)), k2 * (uv - lv))
+        b_L = jnp.where(jnp.isfinite(lv), lv + p_L, -jnp.inf)
+        b_U = jnp.where(jnp.isfinite(uv), uv - p_U, jnp.inf)
+        return jnp.clip(x0, b_L, b_U)
+
+    def _initial_state(self) -> State:
+        nlp, pars = self.nlp, self.pars
+        dt = self.dtype
+        n, m = self.n, self.m
+        mc = nlp.m_cons  # canonical rows from original constraints ("ais")
+
+        x0 = jnp.asarray(nlp.x0, dt)
+        x = self.project_bounds(x0) if pars.init.start_satisfying_bounds else x0
+
+        y0 = jnp.ones(m, dt)
+        cons = nlp.c(x)
+        a = nlp.a_of(x, cons)
+        g = nlp.grad_f(x)
+
+        s_thres = 1e-4
+        d_s = jnp.maximum(s_thres, -2.0 * jnp.min(a))
+        s0 = a + d_s
+        mu0 = d_s
+
+        p0 = Point(x=x, y=y0, s=s0, mu=mu0, beta=jnp.asarray(1.0, dt))
+        cache0 = self.make_cache(x, y0)
+
+        # one full KKT cycle at the guarded start (gertz_init.jl:22-28)
+        empty_fact = self._empty_factor()
+        fact = self.form_factor(p0, cache0, empty_fact)
+        succ, nfac, delta0, L = self.ipopt_strategy(fact, jnp.asarray(0.0, dt))
+        fact = fact._replace(L=L, delta=delta0, ok=succ)
+        adir, _ = self.compute_direction(fact, p0, cache0, 0.0, 0.0, 0.0)
+
+        # Mehrotra-style guarding (guess-vars.jl:46-125)
+        y_t = y0 + adir.y
+        s_t = -a
+        if nlp.m_bounds > 0:
+            s_t = s_t.at[mc:].set(a[mc:])  # bound-row slacks stay = a_i
+        if mc > 0:
+            min_s_cons = jnp.min(s_t[:mc])
+        else:
+            min_s_cons = jnp.asarray(0.0, dt)
+        d_s2 = (jnp.maximum(-2.0 * min_s_cons, 0.0)
+                + _norm_inf(g - nlp.jtprod(x, y_t)) / (1.0 + _norm_inf(y_t)))
+        d_y = jnp.maximum(-2.0 * jnp.min(y_t), 0.0)
+        if mc > 0:
+            s_t = s_t.at[:mc].add(d_s2 + 1e-8)
+        y_t = y_t + d_y
+        d_y_t = d_y + 0.5 * jnp.dot(s_t, y_t) / jnp.sum(s_t)
+        y_t = y_t + d_y_t
+        y_t = jnp.clip(y_t, pars.init.dual_min, pars.init.dual_max)
+        d_s_t = d_s2 + 0.5 * jnp.dot(s_t, y_t) / jnp.sum(y_t)
+        if mc > 0:
+            s_t = s_t.at[:mc].add(d_s_t)
+
+        # correct_guess3 (correct-guess.jl:94-132)
+        mu = jnp.mean(s_t * y_t)
+        conW = (s_t - a) / mu
+        s = a + mu * conW
+        mu = mu * pars.init.mu_scale
+
+        # center_dual! with comp_feas_agg (gertz_init.jl:44-49)
+        cfa = pars.ls.comp_feas_agg
+        y_c = mu / s
+        y = jnp.minimum(y_c / cfa, jnp.maximum(y_t, cfa * y_c))
+
+        p = Point(x=x, y=y, s=s, mu=mu, beta=jnp.asarray(1.0, dt))
+        cache = self.make_cache(x, y)
+        r0 = cache.a - s
+
+        filt = Filter(merit=jnp.full(self.filt_cap, jnp.inf, dt),
+                      kkt=jnp.full(self.filt_cap, jnp.inf, dt),
+                      beta=jnp.full(self.filt_cap, jnp.inf, dt),
+                      count=jnp.asarray(0, jnp.int32))
+        hist = History(buf=jnp.zeros((self.hist_cap, hist_mod.NCOLS), dt),
+                       count=jnp.asarray(0, jnp.int32))
+        zdir = Dir(x=jnp.zeros(n, dt), y=jnp.zeros(m, dt), s=jnp.zeros(m, dt),
+                   mu=jnp.asarray(0.0, dt), beta=jnp.asarray(0.0, dt))
+        ls0 = LSInfo(status=jnp.asarray(LS_NONE, jnp.int32),
+                     alpha_P=jnp.asarray(0.0, dt), alpha_D=jnp.asarray(0.0, dt),
+                     num_steps=jnp.asarray(0, jnp.int32))
+        st = State(p=p, cache=cache, fact=fact, dir=zdir, filt=filt, hist=hist,
+                   r0=r0, delta=jnp.asarray(0.0, dt),
+                   t=jnp.asarray(1, jnp.int32),
+                   status=jnp.asarray(RUNNING, jnp.int32),
+                   step_ok=jnp.asarray(True),
+                   last_superlinear=jnp.asarray(False),
+                   kkt_ratio=jnp.asarray(0.0, dt),
+                   eta=jnp.zeros(3, dt), ls=ls0,
+                   agg_mask=jnp.asarray(False),
+                   num_fac_inertia=jnp.asarray(0, jnp.int32),
+                   tot_num_fac=jnp.asarray(0, jnp.int32))
+        # init factorization failure -> MAX_DELTA (reference errors out)
+        st = st._replace(status=jnp.where(succ, RUNNING, MAX_DELTA).astype(jnp.int32))
+        # termination check at the starting point (one_phase.jl:152-166)
+        st = st._replace(status=jnp.where(st.status == RUNNING,
+                                          self.terminate(p, cache),
+                                          st.status).astype(jnp.int32))
+        st = st._replace(hist=hist_mod.record(self, st, STEP_IT0))
+        return st
+
+    def _empty_factor(self) -> Factor:
+        n, m = self.n, self.m
+        dt = self.dtype
+        return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
+                      H=jnp.zeros((n, n), dt), Q=jnp.zeros((n, n), dt),
+                      schur_diag=jnp.zeros(n, dt),
+                      L=jnp.eye(n, dtype=dt),
+                      delta=jnp.asarray(0.0, dt),
+                      s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),
+                      ok=jnp.asarray(False))

@@ -1,0 +1,337 @@
+"""Problem abstraction + canonicalizer.
+
+TPU-native re-design of the reference's L1 layer
+(reference: src/utils/Class_cutest.jl — `Class_CUTEst`, `Class_bounds`,
+`eval_a`/`eval_jac`/`eval_lag_hess` canonical assembly).
+
+A raw problem is::
+
+    min f(x)  s.t.  lcon <= c(x) <= ucon,  lvar <= x <= uvar
+
+The canonical form (one slack per finite bound side, same row ordering as
+the reference, Class_cutest.jl:385-420) is ``a(x) >= 0`` with
+
+    a(x) = [ c(x)[li] - l ;  u - c(x)[ui] ;  x[lvi] - lv ;  uv - x[uvi] ]
+
+Fixed variables (lvar == uvar) are eliminated (reference `_i_not_fixed`,
+Class_cutest.jl:37-48) and reconstructed for oracle evaluation
+(`_cute_x`, Class_cutest.jl:422-450).
+
+TPU-first departure from the reference: the canonical Jacobian
+``J = [Jc[li]; -Jc[ui]; I[lvi]; -I[uvi]]`` is never materialized.  All
+canonical products are expressed through the *original* (much smaller)
+Jacobian `Jc` plus static gathers/scatters, so the Schur complement
+``J^T D J`` becomes one MXU matmul on `Jc` plus a diagonal update — the
+42%-of-runtime line item of the reference (docs/one-phase.tex:901-912)
+maps onto the MXU instead of sparse scalar code.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NLPSpec", "CanonNLP", "canonicalize"]
+
+
+@dataclass
+class NLPSpec:
+    """Raw user problem (analogue of an NLPModels model, reference Project.toml dep)."""
+
+    f: Callable          # x -> scalar objective
+    x0: np.ndarray       # starting point, full-variable space
+    c: Optional[Callable] = None    # x -> (m_orig,) constraint body, or None
+    lcon: Optional[np.ndarray] = None
+    ucon: Optional[np.ndarray] = None
+    lvar: Optional[np.ndarray] = None
+    uvar: Optional[np.ndarray] = None
+    lin: Sequence[int] = field(default_factory=tuple)   # indices of linear constraints
+    name: str = "nlp"
+
+    def __post_init__(self):
+        self.x0 = np.asarray(self.x0, dtype=np.float64)
+        nv = self.x0.shape[0]
+        if self.lvar is None:
+            self.lvar = np.full(nv, -np.inf)
+        if self.uvar is None:
+            self.uvar = np.full(nv, np.inf)
+        self.lvar = np.asarray(self.lvar, dtype=np.float64)
+        self.uvar = np.asarray(self.uvar, dtype=np.float64)
+        if self.c is None:
+            self.lcon = np.zeros(0)
+            self.ucon = np.zeros(0)
+        else:
+            assert self.lcon is not None and self.ucon is not None
+            self.lcon = np.asarray(self.lcon, dtype=np.float64)
+            self.ucon = np.asarray(self.ucon, dtype=np.float64)
+
+
+class CanonNLP:
+    """Canonicalized problem with JAX oracles (reference: Class_CUTEst).
+
+    All index arrays are host numpy (static under jit).  Oracles operate on
+    the reduced variable vector (fixed variables eliminated).
+    """
+
+    def __init__(self, spec: NLPSpec, dtype=jnp.float64):
+        self.spec = spec
+        self.name = spec.name
+        self.dtype = dtype
+
+        lvar, uvar = spec.lvar, spec.uvar
+        nv_full = lvar.shape[0]
+
+        # --- fixed-variable elimination (reference _i_not_fixed) ---
+        free = np.nonzero(lvar != uvar)[0]
+        self.free_idx = free
+        self.n_full = nv_full
+        self.n = free.shape[0]
+        self._x_template = np.array(lvar, dtype=np.float64)  # fixed vars take lvar value
+        self._x_template[~np.isfinite(self._x_template)] = 0.0
+
+        self.lvar = lvar[free]
+        self.uvar = uvar[free]
+        self.x0 = spec.x0[free]
+
+        # --- finite-bound row maps (reference Class_bounds, :12-35) ---
+        lcon, ucon = spec.lcon, spec.ucon
+        self.m_orig = lcon.shape[0]
+        self.li = np.nonzero(lcon > -np.inf)[0]
+        self.ui = np.nonzero(ucon < np.inf)[0]
+        self.lvi = np.nonzero(self.lvar > -np.inf)[0]
+        self.uvi = np.nonzero(self.uvar < np.inf)[0]
+        self.l = lcon[self.li]
+        self.u = ucon[self.ui]
+        self.lv = self.lvar[self.lvi]
+        self.uv = self.uvar[self.uvi]
+
+        self.n_lcon = self.li.shape[0]
+        self.n_ucon = self.ui.shape[0]
+        self.n_lvar = self.lvi.shape[0]
+        self.n_uvar = self.uvi.shape[0]
+        self.m_cons = self.n_lcon + self.n_ucon           # ncons_orginal
+        self.m_bounds = self.n_lvar + self.n_uvar         # nbounds_orginal
+        self.m = self.m_cons + self.m_bounds              # canonical ncon
+
+        # --- row classification (reference linear_cons/ineq_cons, :205-272) ---
+        is_lin = np.zeros(self.m_orig, dtype=bool)
+        is_lin[np.asarray(list(spec.lin), dtype=int)] = True
+        self.lin_mask = np.concatenate([
+            is_lin[self.li], is_lin[self.ui],
+            np.ones(self.m_bounds, dtype=bool),
+        ])
+        is_eq = lcon == ucon
+        # reference ineq_cons marks equality rows and bound rows with 1
+        self.eqbound_mask = np.concatenate([
+            is_eq[self.li], is_eq[self.ui],
+            np.ones(self.m_bounds, dtype=bool),
+        ])
+
+        # bound-too-close screen (reference primal-project.jl:27-33)
+        gap = self.uvar - self.lvar
+        if np.any(gap < 1e-8):
+            raise ValueError(f"{spec.name}: variable bounds too close (gap < 1e-8)")
+
+        if self.m == 0:
+            raise ValueError(
+                "Unconstrained minimization problems are unsupported "
+                "(reference: one_phase.jl:25-27)")
+
+        # device copies of static data used inside oracles
+        d = dtype
+        self._j = {
+            "li": jnp.asarray(self.li), "ui": jnp.asarray(self.ui),
+            "lvi": jnp.asarray(self.lvi), "uvi": jnp.asarray(self.uvi),
+            "l": jnp.asarray(self.l, d), "u": jnp.asarray(self.u, d),
+            "lv": jnp.asarray(self.lv, d), "uv": jnp.asarray(self.uv, d),
+        }
+        # canonical J^T @ ones, constraint part weights: +1 per l-row, -1 per u-row
+        w1 = np.zeros(self.m_orig)
+        np.add.at(w1, self.li, 1.0)
+        np.add.at(w1, self.ui, -1.0)
+        self._wc_ones = jnp.asarray(w1, d)
+        b1 = np.zeros(self.n)
+        np.add.at(b1, self.lvi, 1.0)
+        np.add.at(b1, self.uvi, -1.0)
+        self._bnd_ones = jnp.asarray(b1, d)
+
+        self._f_raw = spec.f
+        self._c_raw = spec.c
+
+    # ------------------------------------------------------------------
+    # full-variable reconstruction (reference _cute_x)
+    def _full_x(self, x):
+        if self.n == self.n_full:
+            return x
+        tmpl = jnp.asarray(self._x_template, x.dtype)
+        return tmpl.at[jnp.asarray(self.free_idx)].set(x)
+
+    # ------------------------------------------------------------------
+    # raw oracles in reduced space
+    def f(self, x):
+        """Objective (reference eval_f, Class_cutest.jl:310)."""
+        return jnp.asarray(self._f_raw(self._full_x(x)), self.dtype)
+
+    def c(self, x):
+        """Original constraint body c(x) -> (m_orig,)."""
+        if self._c_raw is None:
+            return jnp.zeros((0,), self.dtype)
+        return jnp.asarray(self._c_raw(self._full_x(x)), self.dtype).reshape(self.m_orig)
+
+    def grad_f(self, x):
+        """Objective gradient (reference eval_grad_f, Class_cutest.jl:505)."""
+        return jax.grad(self.f)(x)
+
+    # ------------------------------------------------------------------
+    # canonical constraint vector a(x) >= 0 (reference eval_a, :385-420)
+    def a_of(self, x, cvals=None):
+        j = self._j
+        if cvals is None:
+            cvals = self.c(x)
+        return jnp.concatenate([
+            cvals[j["li"]] - j["l"],
+            j["u"] - cvals[j["ui"]],
+            x[j["lvi"]] - j["lv"],
+            j["uv"] - x[j["uvi"]],
+        ])
+
+    # canonical J @ v given original-Jacobian action jc_v = Jc @ v
+    def jprod_from(self, jc_v, v):
+        j = self._j
+        return jnp.concatenate([
+            jc_v[j["li"]], -jc_v[j["ui"]], v[j["lvi"]], -v[j["uvi"]],
+        ])
+
+    def jprod(self, x, v):
+        """Canonical J(x) @ v via one JVP on c."""
+        if self.m_orig > 0:
+            _, jc_v = jax.jvp(self.c, (x,), (v,))
+        else:
+            jc_v = jnp.zeros((0,), self.dtype)
+        return self.jprod_from(jc_v, v)
+
+    # split a canonical multiplier w into (orig-constraint weights, bound vector)
+    def split_canonical(self, w):
+        j = self._j
+        nl, nu, nbl = self.n_lcon, self.n_ucon, self.n_lvar
+        w_l = w[:nl]
+        w_u = w[nl:nl + nu]
+        w_bl = w[nl + nu:nl + nu + nbl]
+        w_bu = w[nl + nu + nbl:]
+        wc = jnp.zeros((self.m_orig,), w.dtype)
+        wc = wc.at[j["li"]].add(w_l)
+        wc = wc.at[j["ui"]].add(-w_u)
+        bnd = jnp.zeros((self.n,), w.dtype)
+        bnd = bnd.at[j["lvi"]].add(w_bl)
+        bnd = bnd.at[j["uvi"]].add(-w_bu)
+        return wc, bnd
+
+    # like split_canonical but with squared signs (for J^T diag(d) J assembly)
+    def split_canonical_sq(self, d):
+        j = self._j
+        nl, nu, nbl = self.n_lcon, self.n_ucon, self.n_lvar
+        wc = jnp.zeros((self.m_orig,), d.dtype)
+        wc = wc.at[j["li"]].add(d[:nl])
+        wc = wc.at[j["ui"]].add(d[nl:nl + nu])
+        bnd = jnp.zeros((self.n,), d.dtype)
+        bnd = bnd.at[j["lvi"]].add(d[nl + nu:nl + nu + nbl])
+        bnd = bnd.at[j["uvi"]].add(d[nl + nu + nbl:])
+        return wc, bnd
+
+    def jtprod(self, x, w):
+        """Canonical J(x)^T @ w via one VJP on c (reference eval_jac_T_prod)."""
+        wc, bnd = self.split_canonical(w)
+        if self.m_orig > 0:
+            _, pull = jax.vjp(self.c, x)
+            out = pull(wc)[0]
+        else:
+            out = jnp.zeros((self.n,), self.dtype)
+        return out + bnd
+
+    def jtprod_ones(self, x):
+        """Canonical J(x)^T @ 1 (regularizer gradient, reference eval_grad_r)."""
+        if self.m_orig > 0:
+            _, pull = jax.vjp(self.c, x)
+            out = pull(self._wc_ones)[0]
+        else:
+            out = jnp.zeros((self.n,), self.dtype)
+        return out + self._bnd_ones
+
+    # ------------------------------------------------------------------
+    # materialized original Jacobian (per outer iteration; reference eval_jac)
+    def jac_orig(self, x):
+        if self.m_orig == 0:
+            return jnp.zeros((0, self.n), self.dtype)
+        return jax.jacfwd(self.c)(x)
+
+    # canonical products through a materialized Jc
+    def jprod_mat(self, Jc, v):
+        jc_v = Jc @ v if self.m_orig > 0 else jnp.zeros((0,), v.dtype)
+        return self.jprod_from(jc_v, v)
+
+    def jtprod_mat(self, Jc, w):
+        wc, bnd = self.split_canonical(w)
+        out = Jc.T @ wc if self.m_orig > 0 else jnp.zeros((self.n,), w.dtype)
+        return out + bnd
+
+    def jtdj(self, Jc, d):
+        """Canonical J^T diag(d) J as dense (n,n) — the Schur hot op.
+
+        = Jc^T diag(wc) Jc + diag(bnd) with wc/bnd from sign-squared scatter
+        (reference eval_J_T_J, eval.jl:84-86 via sparse triple product).
+        """
+        wc, bnd = self.split_canonical_sq(d)
+        if self.m_orig > 0:
+            Q = (Jc * wc[:, None]).T @ Jc
+        else:
+            Q = jnp.zeros((self.n, self.n), d.dtype)
+        return Q + jnp.diag(bnd)
+
+    def jtdj_diag(self, Jc, d):
+        """diag(J^T diag(d) J) (reference eval_diag_J_T_J, eval.jl:88-99)."""
+        wc, bnd = self.split_canonical_sq(d)
+        if self.m_orig > 0:
+            di = jnp.einsum("ij,i,ij->j", Jc, wc, Jc)
+        else:
+            di = jnp.zeros((self.n,), d.dtype)
+        return di + bnd
+
+    # ------------------------------------------------------------------
+    # Lagrangian Hessian of f(x) - y^T a(x), materialized (n,n) symmetric
+    # (reference eval_lag_hess, Class_cutest.jl:541-581; bound rows are
+    # linear so only original-constraint duals enter.)
+    def lag_hess(self, x, y):
+        wc, _ = self.split_canonical(y)
+
+        def lag(xx):
+            val = self.f(xx)
+            if self.m_orig > 0:
+                val = val - jnp.dot(wc, self.c(xx))
+            return val
+
+        return jax.hessian(lag)(x)
+
+    def hess_prod_fn(self, x, y):
+        """Returns v -> H v (Hessian-vector product at fixed (x, y))."""
+        wc, _ = self.split_canonical(y)
+
+        def lag(xx):
+            val = self.f(xx)
+            if self.m_orig > 0:
+                val = val - jnp.dot(wc, self.c(xx))
+            return val
+
+        g = jax.grad(lag)
+        return lambda v: jax.jvp(g, (x,), (v,))[1]
+
+
+def canonicalize(spec: NLPSpec, dtype=None) -> CanonNLP:
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return CanonNLP(spec, dtype=dtype)
