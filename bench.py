@@ -1,0 +1,99 @@
+"""Benchmark: batched KKT factorization throughput of the one-phase IPM.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric (BASELINE.json): KKT factorizations/s per chip, measured by running
+the full jitted IPM (not an isolated kernel) on a vmapped batch of
+constrained QP instances — so every factorization also pays its Schur
+formation, direction solve and line search, exactly like production use.
+
+Baseline derivation (BASELINE.md): the reference spends 35.4% of a 10 h
+238-problem CUTEst sweep factorizing at 1.9 factorizations/outer-iteration
+(docs/one-phase.tex:901-931).  With ~100 outer iterations/problem that is
+~238*100*1.9 / (0.354*36000 s) ~= 3.5 factorizations/s on its single core
+at comparable (n ~ 10^2-10^3) problem sizes.  vs_baseline = value / 3.5.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FAC_PER_S = 3.5
+
+
+def make_qp(n=256, m=128, seed=0):
+    """Random strictly-convex QP with linear constraints and bounds."""
+    from onephase_tpu.nlp import NLPSpec
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n)) / np.sqrt(n)
+    b = rng.normal(size=n)
+    C = rng.normal(size=(m, n)) / np.sqrt(n)
+    Aj = jnp.asarray(A)
+    bj = jnp.asarray(b)
+    Cj = jnp.asarray(C)
+    return NLPSpec(
+        f=lambda x: 0.5 * jnp.sum((Aj @ x) ** 2) + jnp.dot(bj, x),
+        c=lambda x: Cj @ x,
+        lcon=np.full(m, -1.0), ucon=np.full(m, 1.0),
+        lvar=np.full(n, -10.0), uvar=np.full(n, 10.0),
+        x0=np.zeros(n), lin=tuple(range(m)),
+        name=f"bench_qp_n{n}_m{m}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    m = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from onephase_tpu.config import Params
+    from onephase_tpu.nlp import canonicalize
+    from onephase_tpu.parallel.batch import BatchSolver
+
+    dtype = jnp.float32  # TPU-native precision
+    pars = Params().with_overrides({
+        "output_level": 0,
+        "term.max_it": 60,
+        "term.tol_opt": 1e-4,     # f32-appropriate tolerance
+        "chunk_size": 20,
+        "history_capacity": 2,
+    })
+    nlp = canonicalize(make_qp(n, m), dtype=dtype)
+    solver = BatchSolver(nlp, pars)
+
+    rng = np.random.default_rng(1)
+    x0s = rng.normal(size=(batch, nlp.n)) * 0.1
+
+    # warmup/compile
+    st = solver.init(x0s)
+    st = solver.run_chunk(st)
+    jax.block_until_ready(st)
+
+    # timed run: fresh states, run to completion or max_it
+    st = solver.init(x0s)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    n_chunks = 3
+    for _ in range(n_chunks):
+        st = solver.run_chunk(st)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+
+    total_fac = int(jnp.sum(st.cum_fac))
+    total_outer = int(jnp.sum(st.t - 1))
+    fac_per_s = total_fac / dt
+    res = {
+        "metric": "kkt_factorizations_per_s_per_chip",
+        "value": round(fac_per_s, 2),
+        "unit": f"fac/s (n={n}, m={m}, batch={batch}, "
+                f"{total_outer} outer its in {dt:.2f}s)",
+        "vs_baseline": round(fac_per_s / BASELINE_FAC_PER_S, 2),
+    }
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,7 +90,10 @@ class OnePhaseKernel:
         self.filt_cap = pars.term.max_it * pars.max_it_corrections + 2
 
         self.run_chunk = jax.jit(self._run_chunk)
-        self.initial_state = jax.jit(self._initial_state)
+        self.initial_state_from = jax.jit(self._initial_state)
+
+    def initial_state(self):
+        return self.initial_state_from(jnp.asarray(self.nlp.x0, self.dtype))
 
     # ==================================================================
     # residual / merit evaluations (reference: src/utils/eval.jl)
@@ -693,7 +696,8 @@ class OnePhaseKernel:
             old_delta = st.delta
             st = st._replace(fact=fact, delta=new_delta,
                              num_fac_inertia=nfac_inertia,
-                             tot_num_fac=nfac_inertia)
+                             tot_num_fac=nfac_inertia,
+                             cum_fac=st.cum_fac + nfac_inertia)
 
             def fact_failed(st):
                 return st._replace(status=jnp.asarray(MAX_DELTA, jnp.int32))
@@ -740,6 +744,7 @@ class OnePhaseKernel:
                             delta=nd,
                             fact=st_c.fact._replace(L=Lk, delta=nd),
                             tot_num_fac=st_c.tot_num_fac + 1,
+                            cum_fac=st_c.cum_fac + 1,
                             dir=direction, kkt_ratio=ratio, eta=eta, ls=info)
                         # dead when we cannot escalate further
                         return st2, ~can_escalate
@@ -856,13 +861,13 @@ class OnePhaseKernel:
         b_U = jnp.where(jnp.isfinite(uv), uv - p_U, jnp.inf)
         return jnp.clip(x0, b_L, b_U)
 
-    def _initial_state(self) -> State:
+    def _initial_state(self, x0) -> State:
         nlp, pars = self.nlp, self.pars
         dt = self.dtype
         n, m = self.n, self.m
         mc = nlp.m_cons  # canonical rows from original constraints ("ais")
 
-        x0 = jnp.asarray(nlp.x0, dt)
+        x0 = jnp.asarray(x0, dt)
         x = self.project_bounds(x0) if pars.init.start_satisfying_bounds else x0
 
         y0 = jnp.ones(m, dt)
@@ -943,7 +948,8 @@ class OnePhaseKernel:
                    eta=jnp.zeros(3, dt), ls=ls0,
                    agg_mask=jnp.asarray(False),
                    num_fac_inertia=jnp.asarray(0, jnp.int32),
-                   tot_num_fac=jnp.asarray(0, jnp.int32))
+                   tot_num_fac=jnp.asarray(0, jnp.int32),
+                   cum_fac=nfac)
         # init factorization failure -> MAX_DELTA (reference errors out)
         st = st._replace(status=jnp.where(succ, RUNNING, MAX_DELTA).astype(jnp.int32))
         # termination check at the starting point (one_phase.jl:152-166)

@@ -144,3 +144,4 @@ class State(NamedTuple):
     agg_mask: jnp.ndarray      # bool: last step was aggressive
     num_fac_inertia: jnp.ndarray  # int32, factorizations in last inertia search
     tot_num_fac: jnp.ndarray   # int32, factorizations in last outer iteration
+    cum_fac: jnp.ndarray       # int32, total factorizations this solve

@@ -1,0 +1,58 @@
+"""Batched (vmapped) solver instances.
+
+TPU-first capability with no counterpart in the reference (SURVEY.md §2.4):
+the reference scales out via SLURM job arrays over problems
+(benchmark/CUTEst/*.sbatch); here a batch of same-structure instances is one
+vmapped device program — the unit of TPU throughput.
+
+Per-instance termination is automatic: `run_chunk`'s `lax.while_loop` under
+`vmap` masks finished instances, so a batch runs until every instance's
+status leaves RUNNING (or the chunk bound is hit).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from ..ipm.core import OnePhaseKernel
+from ..ipm.state import RUNNING, State
+from ..nlp import CanonNLP
+
+
+class BatchSolver:
+    """vmapped multistart / same-structure batch solver."""
+
+    def __init__(self, nlp: CanonNLP, pars: Optional[Params] = None):
+        pars = pars or Params()
+        # history is per-instance memory-heavy; keep one slot per iteration
+        # only if explicitly requested
+        if pars.history_capacity == 0:
+            pars = pars.with_overrides({"history_capacity": 2})
+        self.kernel = OnePhaseKernel(nlp, pars)
+        self.pars = pars
+        self._init_batch = jax.jit(jax.vmap(self.kernel._initial_state))
+        self._run_batch = jax.jit(jax.vmap(self.kernel._run_chunk))
+
+    def init(self, x0s) -> State:
+        """x0s: (B, n) starting points -> batched State."""
+        return self._init_batch(jnp.asarray(x0s, self.kernel.dtype))
+
+    def run_chunk(self, st: State) -> State:
+        return self._run_batch(st)
+
+    def solve(self, x0s, max_chunks: int = 10_000) -> State:
+        st = self.init(x0s)
+        for _ in range(max_chunks):
+            if not bool(jnp.any(st.status == RUNNING)):
+                break
+            st = self.run_chunk(st)
+        return st
+
+    def statuses(self, st: State):
+        from ..ipm.state import STATUS_NAMES
+        return [STATUS_NAMES[int(s)] for s in np.asarray(st.status)]
