@@ -1,0 +1,149 @@
+"""Benchmark/campaign harness: run problem lists with resume + CSV output.
+
+Reference: benchmark/CUTEst/run_cutest.jl:106-233 —
+per-problem stdout redirection to log files, full-history snapshots,
+incremental resume by skipping problems already in the summary, parameter
+dump per campaign, and CSV tables in the benchmark-tables format
+(`name,it,time,fval,con,status`, cf. benchmark-tables/*.csv).
+
+JLD snapshots become JSON; everything else maps 1:1.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from .config import Params
+from .nlp import NLPSpec
+from .solver import one_phase_solve
+from .utils.timer import Timer
+
+# status name -> benchmark-table status string (reference summary.jl mapping)
+TABLE_STATUS = {
+    "Optimal": "optimal",
+    "primal_infeasible": "primal_infeasible",
+    "dual_infeasible": "dual_infeasible",
+    "MAX_IT": "MAX_IT",
+    "MAX_TIME": "MAX_TIME",
+    "MAX_DELTA": "MAX_DELTA",
+    "NaN_ERR": "NaN_ERR",
+    "ERR": "ERR",
+}
+
+
+@dataclass
+class ProblemSummary:
+    """reference problem_summary2 (benchmark/summary.jl:15-38)."""
+
+    status: str = "ERR"
+    it_count: int = -1
+    total_time: float = 0.0
+    fval: float = float("nan")
+    con_vio: float = float("nan")
+    dual_feas: float = float("nan")
+    comp: float = float("nan")
+    number_variables: int = 0
+    number_constraints: int = 0
+
+
+def run_problems(problems: Dict[str, NLPSpec], test_name: str,
+                 pars: Optional[Params] = None,
+                 out_root: str = "results",
+                 solve_func: Optional[Callable] = None) -> Dict[str, ProblemSummary]:
+    """Run a campaign with incremental resume (run_cutest.jl:116-134)."""
+    pars = pars or Params()
+    out = os.path.join(out_root, test_name)
+    os.makedirs(os.path.join(out, "log"), exist_ok=True)
+    os.makedirs(os.path.join(out, "hist"), exist_ok=True)
+
+    summary_path = os.path.join(out, "summary.json")
+    if os.path.isfile(summary_path):
+        with open(summary_path) as fh:
+            summary = {k: ProblemSummary(**v) for k, v in json.load(fh).items()}
+    else:
+        summary = {}
+
+    with open(os.path.join(out, "par.txt"), "w") as fh:
+        pars.write_pars(fh)
+
+    master_timer = Timer()
+    solve_func = solve_func or one_phase_solve
+
+    for name, spec in problems.items():
+        if name in summary:
+            print(f"{name} already solved")
+            continue
+        print(f"RUNNING {name}")
+        rec = ProblemSummary()
+        t0 = time.time()
+        log_path = os.path.join(out, "log", f"{name}.txt")
+        try:
+            with open(log_path, "w") as logf, \
+                    contextlib.redirect_stdout(logf):
+                r = solve_func(spec, pars)
+            rec.status = TABLE_STATUS.get(r.status, r.status)
+            rec.it_count = r.iterations
+            rec.fval = r.obj
+            rec.con_vio = r.max_violation
+            if r.history:
+                rec.dual_feas = r.history[-1]["dual_scaled"]
+                rec.comp = r.history[-1]["comp"]
+            rec.number_variables = len(r.x)
+            rec.number_constraints = len(r.constr_duals)
+            if r.timer is not None:
+                master_timer = master_timer.merge(r.timer)
+            with open(os.path.join(out, "hist", f"{name}.json"), "w") as fh:
+                json.dump(r.history, fh)
+        except FloatingPointError:
+            rec.status = "NaN_ERR"
+        except Exception as e:  # noqa: BLE001 — harness must survive anything
+            with open(log_path, "a") as logf:
+                logf.write(f"\nUncaught error: {type(e).__name__}: {e}\n")
+            rec.status = "ERR"
+        rec.total_time = time.time() - t0
+        summary[name] = rec
+        print(f"  it count = {rec.it_count}\n  status = {rec.status}")
+
+        with open(summary_path, "w") as fh:
+            json.dump({k: asdict(v) for k, v in summary.items()}, fh, indent=1)
+        write_csv(os.path.join(out, "summary.csv"), summary)
+        with open(os.path.join(out, "timer.txt"), "w") as fh:
+            fh.write(master_timer.stats())
+    return summary
+
+
+def write_csv(path: str, summary: Dict[str, ProblemSummary]) -> None:
+    """Emit the benchmark-tables CSV format: name,it,time,fval,con,status."""
+    with open(path, "w") as fh:
+        fh.write("name,it,time,fval,con,status\n")
+        for name, rec in summary.items():
+            fh.write(f"{name},{rec.it_count},{rec.total_time},"
+                     f"{rec.fval},{rec.con_vio},{rec.status}\n")
+
+
+def compare_to_reference(summary: Dict[str, ProblemSummary],
+                         reference_csv: str) -> Dict[str, dict]:
+    """Status/iteration parity report against a benchmark-tables CSV."""
+    import csv
+    ref = {}
+    with open(reference_csv) as fh:
+        for row in csv.DictReader(fh):
+            ref[row["name"].lower()] = row
+    report = {}
+    for name, rec in summary.items():
+        r = ref.get(name.lower())
+        if r is None:
+            continue
+        report[name] = {
+            "status_match": rec.status == r["status"],
+            "ours_it": rec.it_count, "ref_it": int(r["it"]),
+            "ours_status": rec.status, "ref_status": r["status"],
+        }
+    return report

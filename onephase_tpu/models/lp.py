@@ -1,0 +1,182 @@
+"""LP model construction: dense LP specs, MPS reader, infeasible perturbation.
+
+Reference counterparts:
+- Netlib ingestion (benchmark/Netlib/run_netlib.jl:4-66, loads .mat into JuMP)
+  -> here a standard (fixed-form) MPS parser, since the canonical Netlib
+  distribution is MPS.
+- Infeasible-set generator (benchmark/CUTEst/infeas.jl:3-33): shift all
+  constraint ranges by -scale, keeping variable bounds.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..nlp import NLPSpec
+
+INF = np.inf
+
+
+def lp_spec(cvec, A, lcon, ucon, lvar=None, uvar=None, x0=None,
+            name="lp", c0: float = 0.0) -> NLPSpec:
+    """min c^T x + c0  s.t. lcon <= A x <= ucon, lvar <= x <= uvar."""
+    A = np.asarray(A, dtype=np.float64)
+    m, n = A.shape
+    cvec = np.asarray(cvec, dtype=np.float64)
+    Aj = jnp.asarray(A)
+    cj = jnp.asarray(cvec)
+    return NLPSpec(
+        f=lambda x: jnp.dot(cj, x) + c0,
+        c=(lambda x: Aj @ x) if m > 0 else None,
+        lcon=np.asarray(lcon, dtype=np.float64) if m > 0 else None,
+        ucon=np.asarray(ucon, dtype=np.float64) if m > 0 else None,
+        lvar=lvar if lvar is not None else np.full(n, -INF),
+        uvar=uvar if uvar is not None else np.full(n, INF),
+        x0=x0 if x0 is not None else np.zeros(n),
+        lin=tuple(range(m)), name=name)
+
+
+def perturb_infeasible(spec: NLPSpec, scale: float = 1.0) -> NLPSpec:
+    """Shift constraint ranges by -scale (reference perturb_cons,
+    infeas.jl:3-33: lcon - shift, ucon - shift with shift = scale * ones)."""
+    import copy
+    out = copy.copy(spec)
+    out.lcon = spec.lcon - scale
+    out.ucon = spec.ucon - scale
+    out.name = spec.name + "_infeas"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MPS reader (fixed + free format tolerant) — enough for the Netlib sets.
+# ---------------------------------------------------------------------------
+def read_mps(path: str, name: Optional[str] = None) -> NLPSpec:
+    op = gzip.open if str(path).endswith(".gz") else open
+    with op(path, "rt") as fh:
+        lines = fh.readlines()
+
+    section = None
+    row_type: Dict[str, str] = {}
+    row_order = []
+    obj_row = None
+    cols: Dict[str, Dict[str, float]] = {}
+    col_order = []
+    rhs: Dict[str, float] = {}
+    ranges: Dict[str, float] = {}
+    lo: Dict[str, float] = {}
+    up: Dict[str, float] = {}
+    free_vars = set()
+    prob_name = name or "mps"
+    in_integer = False
+
+    for raw in lines:
+        if not raw.strip() or raw.lstrip().startswith("*"):
+            continue
+        if raw[0] not in " \t":
+            tok = raw.split()
+            section = tok[0].upper()
+            if section == "NAME" and len(tok) > 1 and name is None:
+                prob_name = tok[1]
+            if section == "ENDATA":
+                break
+            continue
+        tok = raw.split()
+        if section == "ROWS":
+            rt, rn = tok[0].upper(), tok[1]
+            if rt == "N":
+                if obj_row is None:
+                    obj_row = rn
+            else:
+                row_type[rn] = rt
+                row_order.append(rn)
+        elif section == "COLUMNS":
+            if len(tok) >= 3 and tok[1].upper() == "'MARKER'":
+                in_integer = "INTORG" in raw.upper()
+                continue
+            cn = tok[0]
+            if cn not in cols:
+                cols[cn] = {}
+                col_order.append(cn)
+            for i in range(1, len(tok) - 1, 2):
+                cols[cn][tok[i]] = float(tok[i + 1])
+        elif section == "RHS":
+            for i in range(1, len(tok) - 1, 2):
+                rhs[tok[i]] = float(tok[i + 1])
+        elif section == "RANGES":
+            for i in range(1, len(tok) - 1, 2):
+                ranges[tok[i]] = float(tok[i + 1])
+        elif section == "BOUNDS":
+            bt = tok[0].upper()
+            cn = tok[2]
+            val = float(tok[3]) if len(tok) > 3 else 0.0
+            if bt == "LO":
+                lo[cn] = val
+            elif bt == "UP":
+                up[cn] = val
+                if val < 0 and cn not in lo:
+                    lo[cn] = -INF
+            elif bt == "FX":
+                lo[cn] = val
+                up[cn] = val
+            elif bt == "FR":
+                free_vars.add(cn)
+            elif bt == "MI":
+                lo[cn] = -INF
+            elif bt == "PL":
+                up[cn] = INF
+            elif bt == "BV":
+                lo[cn], up[cn] = 0.0, 1.0
+
+    n = len(col_order)
+    m = len(row_order)
+    ridx = {r: i for i, r in enumerate(row_order)}
+    A = np.zeros((m, n))
+    cvec = np.zeros(n)
+    for j, cn in enumerate(col_order):
+        for rn, v in cols[cn].items():
+            if rn == obj_row:
+                cvec[j] = v
+            elif rn in ridx:
+                A[ridx[rn], j] = v
+
+    lcon = np.full(m, -INF)
+    ucon = np.full(m, INF)
+    for rn, i in ridx.items():
+        b = rhs.get(rn, 0.0)
+        t = row_type[rn]
+        if t == "E":
+            lcon[i] = ucon[i] = b
+        elif t == "L":
+            ucon[i] = b
+        elif t == "G":
+            lcon[i] = b
+        if rn in ranges:
+            r = ranges[rn]
+            if t == "E":
+                if r >= 0:
+                    ucon[i] = b + r
+                else:
+                    lcon[i] = b + r
+            elif t == "L":
+                lcon[i] = b - abs(r)
+            elif t == "G":
+                ucon[i] = b + abs(r)
+
+    lvar = np.zeros(n)
+    uvar = np.full(n, INF)
+    for j, cn in enumerate(col_order):
+        if cn in free_vars:
+            lvar[j], uvar[j] = -INF, INF
+        else:
+            if cn in lo:
+                lvar[j] = lo[cn]
+            if cn in up:
+                uvar[j] = up[cn]
+
+    c0 = -rhs.get(obj_row, 0.0)  # objective-row RHS is a constant offset
+    return lp_spec(cvec, A, lcon, ucon, lvar, uvar, name=prob_name, c0=c0)
