@@ -38,6 +38,7 @@ from jax import lax
 from ..config import Params
 from ..nlp import CanonNLP
 from . import history as hist_mod
+from ..ops import ldlt as ldlt_mod
 from .state import (Cache, Dir, Factor, Filter, History, LSInfo, Point, State,
                     DUAL_INFEASIBLE, LS_DUAL_INFEASIBLE, LS_MAX_LS_IT,
                     LS_MIN_ALPHA, LS_NAN_DIR, LS_NAN_ERR, LS_NONE,
@@ -181,24 +182,39 @@ class OnePhaseKernel:
     # linear algebra: factor + solve (reference: julia.jl:21-97 via CHOLMOD)
     # ==================================================================
     def factor(self, Q, delta):
-        """Cholesky of Q + delta*I; inertia == Cholesky success.
+        """Factor the KKT matrix with perturbation delta on the x-diagonal;
+        returns ((L, D), inertia_ok).
 
-        (reference: julia.jl:28-46 — CHOLMOD PosDefException => wrong inertia)
+        Schur path: Cholesky of Q + delta*I; inertia == Cholesky success
+        (reference: julia.jl:28-46 — CHOLMOD PosDefException => wrong
+        inertia).  Dense LAPACK Cholesky "succeeds" on numerically singular
+        matrices where sparse CHOLMOD throws (a pivot that rounds to ~eps
+        instead of <= 0); a relative pivot tolerance reproduces the sparse
+        behavior — reject when the smallest pivot is machine-noise relative
+        to the largest, since the direction would be noise.
 
-        Dense LAPACK Cholesky "succeeds" on numerically singular matrices
-        where sparse CHOLMOD throws (a pivot that rounds to ~eps instead of
-        <= 0).  A relative pivot tolerance reproduces the sparse behavior:
-        reject when the smallest pivot is at machine-noise level relative to
-        the largest, since the resulting direction would be noise.
+        Symmetric path: unpivoted LDL^T of the quasi-definite augmented
+        system (delta added to the first n diagonal entries only,
+        symmetric.jl:85-102); inertia from D's sign pattern must be (n, m)
+        (julia.jl:70-90, linear_system_solvers.jl:48-91).
         """
-        n = self.n
+        n, m = self.n, self.m
+        if self.pars.kkt.kkt_solver_type == "symmetric":
+            shift = jnp.concatenate([jnp.full(n, delta, Q.dtype)
+                                     if jnp.ndim(delta) == 0 else
+                                     delta * jnp.ones(n, Q.dtype),
+                                     jnp.zeros(m, Q.dtype)])
+            Kd = Q + jnp.diag(shift)
+            L, d = ldlt_mod.ldlt(Kd)
+            ok = ldlt_mod.inertia_status(d, n, m)
+            return (L, d), ok
         Qd = Q + delta * jnp.eye(n, dtype=Q.dtype)
         L = jnp.linalg.cholesky(Qd)
         d = jnp.diagonal(L)
         finite = jnp.all(jnp.isfinite(d))
         pos = jnp.all(d > 0)
         rel_ok = jnp.min(d) ** 2 > self.pars.kkt.chol_pivot_tol * jnp.max(d) ** 2
-        return L, finite & pos & rel_ok
+        return (L, jnp.ones(n, Q.dtype)), finite & pos & rel_ok
 
     def chol_solve(self, L, b):
         z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
@@ -208,7 +224,12 @@ class OnePhaseKernel:
     # KKT system (reference: schur.jl)
     # ==================================================================
     def form_factor(self, p: Point, cache: Cache, prev: Factor) -> Factor:
-        """form_system! — Q = H_L + J^T diag(y/s) J (schur.jl:47-62).
+        """form_system!.
+
+        Schur path (default): Q = H_L + J^T diag(y/s) J (schur.jl:47-62).
+        Symmetric path: K = [[H_L, J^T], [J, -S/Y]] (symmetric.jl:35-53);
+        `schur_diag` still carries the Schur diagonal for the tau test
+        (compute_schur_diag, kkt_system_solver.jl:296-300).
 
         H uses shifted duals y + mu*theta (update_H!, Class_iterate.jl:279-311).
         """
@@ -216,9 +237,17 @@ class OnePhaseKernel:
         y_eff = p.y + p.mu * self.pars.a_norm_penalty
         H = nlp.lag_hess(p.x, y_eff)
         Jc = nlp.jac_orig(p.x)
+        if self.pars.kkt.kkt_solver_type == "symmetric":
+            Jcan = nlp.jac_canonical(Jc)
+            K = jnp.block([[H, Jcan.T],
+                           [Jcan, -jnp.diag(p.s / p.y)]])
+            schur_diag = jnp.diagonal(H) + nlp.jtdj_diag(Jc, p.y / p.s)
+            return Factor(Jc=Jc, H=H, Q=K, schur_diag=schur_diag,
+                          L=prev.L, D=prev.D, delta=prev.delta,
+                          s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
         Q = H + nlp.jtdj(Jc, p.y / p.s)
         return Factor(Jc=Jc, H=H, Q=Q, schur_diag=jnp.diagonal(Q),
-                      L=prev.L, delta=prev.delta, s_f=p.s, y_f=p.y,
+                      L=prev.L, D=prev.D, delta=prev.delta, s_f=p.s, y_f=p.y,
                       ok=jnp.asarray(False))
 
     def refine_solve(self, fact: Factor, schur_rhs):
@@ -249,11 +278,33 @@ class OnePhaseKernel:
         y_f, s_f = fact.y_f, fact.s_f
         S_vec = y_f / s_f
         sym_primal = primal_r + comp_r / y_f
-        schur_rhs = dual_r + nlp.jtprod_mat(fact.Jc, primal_r * S_vec + comp_r / s_f)
-        dx = self.refine_solve(fact, schur_rhs)
-        jdx = nlp.jprod_mat(fact.Jc, dx)
-        dy = -(jdx - sym_primal) * S_vec
-        ds = jdx - primal_r
+        if self.pars.kkt.kkt_solver_type == "symmetric":
+            # joint solve (symmetric.jl:59-83): K [dx; -dy] = [dual_r; sym_p]
+            # plus fixed-count refinement (the unpivoted LDL^T loses digits
+            # the reference's pivoted CHOLMOD keeps; refinement restores them)
+            rhs_full = jnp.concatenate([dual_r, sym_primal])
+            shift = jnp.concatenate([jnp.full(self.n, fact.delta, rhs_full.dtype),
+                                     jnp.zeros(self.m, rhs_full.dtype)])
+
+            def k_mv(v):
+                return fact.Q @ v + shift * v
+
+            sol = jnp.zeros_like(rhs_full)
+            res = rhs_full
+            for _ in range(self.pars.kkt.it_refine_num):
+                sol = sol + ldlt_mod.ldlt_solve(fact.L, fact.D, res)
+                res = rhs_full - k_mv(sol)
+            dx = sol[:self.n]
+            dy = -sol[self.n:]
+            jdx = nlp.jprod_mat(fact.Jc, dx)
+            ds = jdx - primal_r
+        else:
+            schur_rhs = dual_r + nlp.jtprod_mat(fact.Jc,
+                                                primal_r * S_vec + comp_r / s_f)
+            dx = self.refine_solve(fact, schur_rhs)
+            jdx = nlp.jprod_mat(fact.Jc, dx)
+            dy = -(jdx - sym_primal) * S_vec
+            ds = jdx - primal_r
         dmu = -(1.0 - eta_mu) * p.mu
         dbeta = -(1.0 - eta_P) * p.beta
         direction = Dir(x=dx, y=dy, s=ds, mu=dmu, beta=dbeta)
@@ -272,7 +323,7 @@ class OnePhaseKernel:
     # delta / inertia strategy (reference: delta_strategy.jl:37-121)
     # ==================================================================
     def ipopt_strategy(self, fact: Factor, iter_delta):
-        """Returns (success, num_fac, new_delta, L, ok)."""
+        """Returns (success, num_fac, new_delta, (L, D))."""
         pars = self.pars
         DELTA_MIN = pars.delta.min
         DELTA_MAX = pars.delta.max
@@ -282,13 +333,13 @@ class OnePhaseKernel:
         try_zero = tau > 0.0
 
         def do_zero(_):
-            L0, ok0 = self.factor(fact.Q, jnp.asarray(pars.delta.zero, dt))
-            return L0, ok0, jnp.asarray(1, jnp.int32)
+            LD0, ok0 = self.factor(fact.Q, jnp.asarray(pars.delta.zero, dt))
+            return LD0, ok0, jnp.asarray(1, jnp.int32)
 
         def no_zero(_):
-            return fact.L, jnp.asarray(False), jnp.asarray(0, jnp.int32)
+            return (fact.L, fact.D), jnp.asarray(False), jnp.asarray(0, jnp.int32)
 
-        L, ok0, nfac = lax.cond(try_zero, do_zero, no_zero, None)
+        LD, ok0, nfac = lax.cond(try_zero, do_zero, no_zero, None)
         tau_eff = jnp.where(try_zero, 0.0, tau)
 
         delta_first = jnp.where(
@@ -297,24 +348,25 @@ class OnePhaseKernel:
             pars.delta.start - tau_eff)
 
         def cond(c):
-            delta, L, ok, nfac, i = c
+            delta, LD, ok, nfac, i = c
             return (~ok) & (i < pars.delta.max_it) & (delta <= DELTA_MAX)
 
         def body(c):
-            delta, L, ok, nfac, i = c
-            Lc, okc = self.factor(fact.Q, delta)
+            delta, LD, ok, nfac, i = c
+            LDc, okc = self.factor(fact.Q, delta)
             # keep stale factor on failure (matches the Julia object semantics:
             # a thrown PosDefException leaves the previous factor in place)
-            L = jnp.where(okc, Lc, L)
+            LD = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(okc, new, old), LDc, LD)
             next_delta = jnp.where(okc, delta, delta * pars.delta.inc)
-            return (next_delta, L, okc, nfac + 1, i + 1)
+            return (next_delta, LD, okc, nfac + 1, i + 1)
 
-        init = (delta_first, L, ok0, nfac, jnp.asarray(0, jnp.int32))
-        delta, L, ok, nfac, _ = lax.while_loop(cond, body, init)
+        init = (delta_first, LD, ok0, nfac, jnp.asarray(0, jnp.int32))
+        delta, LD, ok, nfac, _ = lax.while_loop(cond, body, init)
 
         # zero-delta attempt succeeded -> loop never ran -> delta is delta.zero
         final_delta = jnp.where(ok0, jnp.asarray(pars.delta.zero, dt), delta)
-        return ok, nfac, final_delta, L
+        return ok, nfac, final_delta, LD
 
     # ==================================================================
     # fraction-to-boundary helpers (reference: frac_boundary.jl)
@@ -691,8 +743,8 @@ class OnePhaseKernel:
         if first:
             # -- factor at current point -------------------------------
             fact = self.form_factor(st.p, st.cache, st.fact)
-            success, nfac_inertia, new_delta, L = self.ipopt_strategy(fact, st.delta)
-            fact = fact._replace(L=L, delta=new_delta, ok=success)
+            success, nfac_inertia, new_delta, LD = self.ipopt_strategy(fact, st.delta)
+            fact = fact._replace(L=LD[0], D=LD[1], delta=new_delta, ok=success)
             old_delta = st.delta
             st = st._replace(fact=fact, delta=new_delta,
                              num_fac_inertia=nfac_inertia,
@@ -738,11 +790,12 @@ class OnePhaseKernel:
                                              jnp.maximum(pars.delta.start,
                                                          old_delta * pars.delta.dec))
                         nd = jnp.where(can_escalate, nd, delta)
-                        Lc, okc = self.factor(st_c.fact.Q, nd)
+                        (Lc, Dc), okc = self.factor(st_c.fact.Q, nd)
                         Lk = jnp.where(okc, Lc, st_c.fact.L)
+                        Dk = jnp.where(okc, Dc, st_c.fact.D)
                         st2 = st_c._replace(
                             delta=nd,
-                            fact=st_c.fact._replace(L=Lk, delta=nd),
+                            fact=st_c.fact._replace(L=Lk, D=Dk, delta=nd),
                             tot_num_fac=st_c.tot_num_fac + 1,
                             cum_fac=st_c.cum_fac + 1,
                             dir=direction, kkt_ratio=ratio, eta=eta, ls=info)
@@ -883,18 +936,38 @@ class OnePhaseKernel:
         p0 = Point(x=x, y=y0, s=s0, mu=mu0, beta=jnp.asarray(1.0, dt))
         cache0 = self.make_cache(x, y0)
 
-        # one full KKT cycle at the guarded start (gertz_init.jl:22-28)
         empty_fact = self._empty_factor()
-        fact = self.form_factor(p0, cache0, empty_fact)
-        succ, nfac, delta0, L = self.ipopt_strategy(fact, jnp.asarray(0.0, dt))
-        fact = fact._replace(L=L, delta=delta0, ok=succ)
-        adir, _ = self.compute_direction(fact, p0, cache0, 0.0, 0.0, 0.0)
-
-        # Mehrotra-style guarding (guess-vars.jl:46-125)
-        y_t = y0 + adir.y
-        s_t = -a
-        if nlp.m_bounds > 0:
-            s_t = s_t.at[mc:].set(a[mc:])  # bound-row slacks stay = a_i
+        if pars.init.init_style == "gertz":
+            # one full KKT cycle at the guarded start (gertz_init.jl:22-28)
+            fact = self.form_factor(p0, cache0, empty_fact)
+            succ, nfac, delta0, LD = self.ipopt_strategy(fact, jnp.asarray(0.0, dt))
+            fact = fact._replace(L=LD[0], D=LD[1], delta=delta0, ok=succ)
+            adir, _ = self.compute_direction(fact, p0, cache0, 0.0, 0.0, 0.0)
+            y_t = y0 + adir.y
+            s_t = -a
+            if nlp.m_bounds > 0:
+                s_t = s_t.at[mc:].set(a[mc:])  # bound-row slacks stay = a_i
+        elif pars.init.init_style == "mehrotra":
+            # ridge least-squares dual estimate (estimate_y_tilde,
+            # guess-vars.jl:128-169): (lam*I + J^T J) dx = -g, y = -J dx
+            Jc0 = nlp.jac_orig(x)
+            lam = 1e-4
+            Hr = lam * jnp.eye(n, dtype=dt) + nlp.jtdj(
+                Jc0, jnp.ones(m, dt))
+            Lr = jnp.linalg.cholesky(Hr)
+            dx0 = self.chol_solve(Lr, -g)
+            y_t = -nlp.jprod_mat(Jc0, dx0)
+            bad = _isbad(y_t)
+            y_t = jnp.where(bad, jnp.ones(m, dt), y_t)
+            s_t = a
+            fact = self.form_factor(p0, cache0, empty_fact)
+            LD0, succ = self.factor(fact.Q, jnp.asarray(pars.delta.start, dt))
+            fact = fact._replace(L=LD0[0], D=LD0[1],
+                                 delta=jnp.asarray(pars.delta.start, dt),
+                                 ok=succ)
+            nfac = jnp.asarray(1, jnp.int32)
+        else:
+            raise ValueError(f"init style {pars.init.init_style}")
         if mc > 0:
             min_s_cons = jnp.min(s_t[:mc])
         else:
@@ -913,8 +986,22 @@ class OnePhaseKernel:
             s_t = s_t.at[:mc].add(d_s_t)
 
         # correct_guess3 (correct-guess.jl:94-132)
-        mu = jnp.mean(s_t * y_t)
-        conW = (s_t - a) / mu
+        if pars.init.init_style == "mehrotra" and not pars.init.mehotra_scaling:
+            mu = 1e-6 + _norm_inf(s_t) + _norm_inf(g)
+            conW = jnp.zeros(m, dt).at[:mc].set(1.0)
+        else:
+            mu = jnp.mean(s_t * y_t)
+            conW = (s_t - a) / mu
+        if pars.init.init_style == "mehrotra":
+            # per-class constraint weights (init.jl:19-85); defaults 1.0
+            import numpy as _np
+            lin = nlp.lin_mask
+            eqb = nlp.eqbound_mask
+            scale_vec = _np.ones(m)
+            scale_vec[eqb & ~lin] *= pars.init.nl_eq_scale
+            scale_vec[~eqb & ~lin] *= pars.init.nl_ineq_scale
+            scale_vec[lin] *= pars.init.linear_scale
+            conW = conW * jnp.asarray(scale_vec, dt)
         s = a + mu * conW
         mu = mu * pars.init.mu_scale
 
@@ -962,10 +1049,12 @@ class OnePhaseKernel:
     def _empty_factor(self) -> Factor:
         n, m = self.n, self.m
         dt = self.dtype
+        N = n + m if self.pars.kkt.kkt_solver_type == "symmetric" else n
         return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
-                      H=jnp.zeros((n, n), dt), Q=jnp.zeros((n, n), dt),
+                      H=jnp.zeros((n, n), dt), Q=jnp.zeros((N, N), dt),
                       schur_diag=jnp.zeros(n, dt),
-                      L=jnp.eye(n, dtype=dt),
+                      L=jnp.eye(N, dtype=dt),
+                      D=jnp.ones(N, dt),
                       delta=jnp.asarray(0.0, dt),
                       s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),
                       ok=jnp.asarray(False))

@@ -84,7 +84,8 @@ class Factor(NamedTuple):
     H: jnp.ndarray           # Lagrangian Hessian (n, n), full symmetric
     Q: jnp.ndarray           # Schur complement H + J^T diag(y/s) J, no delta
     schur_diag: jnp.ndarray  # diag(Q)
-    L: jnp.ndarray           # Cholesky factor of Q + delta*I (lower)
+    L: jnp.ndarray           # Cholesky factor (schur) / unit-lower L (ldlt)
+    D: jnp.ndarray           # LDL^T pivots (symmetric path; ones for schur)
     delta: jnp.ndarray       # delta used in L
     s_f: jnp.ndarray         # slacks at factor point
     y_f: jnp.ndarray         # duals at factor point

@@ -280,6 +280,16 @@ class CanonNLP:
         out = Jc.T @ wc if self.m_orig > 0 else jnp.zeros((self.n,), w.dtype)
         return out + bnd
 
+    def jac_canonical(self, Jc):
+        """Materialize the canonical Jacobian [Jc[li]; -Jc[ui]; I_l; -I_u]
+        (reference eval_jac, Class_cutest.jl:451-503) — used by the
+        symmetric KKT path only; the Schur path never forms it."""
+        j = self._j
+        eye = jnp.eye(self.n, dtype=Jc.dtype)
+        return jnp.concatenate([
+            Jc[j["li"]], -Jc[j["ui"]], eye[j["lvi"]], -eye[j["uvi"]],
+        ], axis=0)
+
     def jtdj(self, Jc, d):
         """Canonical J^T diag(d) J as dense (n,n) — the Schur hot op.
 
