@@ -90,6 +90,25 @@ class OnePhaseKernel:
             pars.term.max_it * pars.max_it_corrections + 2)
         self.filt_cap = pars.term.max_it * pars.max_it_corrections + 2
 
+        # clever_symmetric: parallel-row groups detected once at the initial
+        # point (reference initialize!, clever_symmetric.jl:54-62) via the
+        # native structure library
+        self.kkt_type = pars.kkt.kkt_solver_type
+        if self.kkt_type == "clever_symmetric":
+            from ..native import detect_parallel_rows
+            x_init = self.project_bounds(jnp.asarray(nlp.x0, self.dtype))
+            Jcan0 = np.asarray(nlp.jac_canonical(nlp.jac_orig(x_init)))
+            group_id, ratio, _ = detect_parallel_rows(Jcan0)
+            roots = np.unique(group_id)
+            root_pos = {r: i for i, r in enumerate(roots)}
+            self.clever_roots = roots                      # (mr,)
+            self.clever_row2group = np.asarray(
+                [root_pos[g] for g in group_id], dtype=np.int32)   # (m,)
+            self.clever_ratio = jnp.asarray(ratio, self.dtype)     # (m,)
+            self.mr = len(roots)
+        else:
+            self.mr = m
+
         self.run_chunk = jax.jit(self._run_chunk)
         self.initial_state_from = jax.jit(self._initial_state)
 
@@ -199,14 +218,13 @@ class OnePhaseKernel:
         (julia.jl:70-90, linear_system_solvers.jl:48-91).
         """
         n, m = self.n, self.m
-        if self.pars.kkt.kkt_solver_type == "symmetric":
-            shift = jnp.concatenate([jnp.full(n, delta, Q.dtype)
-                                     if jnp.ndim(delta) == 0 else
-                                     delta * jnp.ones(n, Q.dtype),
-                                     jnp.zeros(m, Q.dtype)])
+        if self.kkt_type in ("symmetric", "clever_symmetric"):
+            mr = self.mr
+            shift = jnp.concatenate([delta * jnp.ones(n, Q.dtype),
+                                     jnp.zeros(mr, Q.dtype)])
             Kd = Q + jnp.diag(shift)
             L, d = ldlt_mod.ldlt(Kd)
-            ok = ldlt_mod.inertia_status(d, n, m)
+            ok = ldlt_mod.inertia_status(d, n, mr)
             return (L, d), ok
         Qd = Q + delta * jnp.eye(n, dtype=Q.dtype)
         L = jnp.linalg.cholesky(Qd)
@@ -237,7 +255,7 @@ class OnePhaseKernel:
         y_eff = p.y + p.mu * self.pars.a_norm_penalty
         H = nlp.lag_hess(p.x, y_eff)
         Jc = nlp.jac_orig(p.x)
-        if self.pars.kkt.kkt_solver_type == "symmetric":
+        if self.kkt_type == "symmetric":
             Jcan = nlp.jac_canonical(Jc)
             K = jnp.block([[H, Jcan.T],
                            [Jcan, -jnp.diag(p.s / p.y)]])
@@ -245,7 +263,24 @@ class OnePhaseKernel:
             return Factor(Jc=Jc, H=H, Q=K, schur_diag=schur_diag,
                           L=prev.L, D=prev.D, delta=prev.delta,
                           s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
-        Q = H + nlp.jtdj(Jc, p.y / p.s)
+        if self.kkt_type == "clever_symmetric":
+            # merged-diagonal reduced system (clever_symmetric.jl:271-293,
+            # form_system! :340-393): group_u = 1 / sum(ratio^2 / u)
+            Jcan = nlp.jac_canonical(Jc)
+            u = p.s / p.y
+            seg = jnp.asarray(self.clever_row2group)
+            u_inv_g = jax.ops.segment_sum(self.clever_ratio ** 2 / u, seg,
+                                          num_segments=self.mr)
+            group_u = 1.0 / u_inv_g
+            J_root = Jcan[jnp.asarray(self.clever_roots)]
+            K = jnp.block([[H, J_root.T],
+                           [J_root, -jnp.diag(group_u)]])
+            schur_diag = jnp.diagonal(H) + nlp.jtdj_diag(Jc, p.y / p.s)
+            return Factor(Jc=Jc, H=H, Q=K, schur_diag=schur_diag,
+                          L=prev.L, D=prev.D, delta=prev.delta,
+                          s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
+        use_pallas = self.pars.kkt.linear_solver_type == "pallas"
+        Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas)
         return Factor(Jc=Jc, H=H, Q=Q, schur_diag=jnp.diagonal(Q),
                       L=prev.L, D=prev.D, delta=prev.delta, s_f=p.s, y_f=p.y,
                       ok=jnp.asarray(False))
@@ -278,7 +313,38 @@ class OnePhaseKernel:
         y_f, s_f = fact.y_f, fact.s_f
         S_vec = y_f / s_f
         sym_primal = primal_r + comp_r / y_f
-        if self.pars.kkt.kkt_solver_type == "symmetric":
+        if self.kkt_type == "clever_symmetric":
+            # reduced joint solve + per-row dual reconstitution
+            # (clever_symmetric.jl:425-493)
+            u = s_f / y_f
+            seg = jnp.asarray(self.clever_row2group)
+            ratio = self.clever_ratio
+            u_inv_g = jax.ops.segment_sum(ratio ** 2 / u, seg,
+                                          num_segments=self.mr)
+            group_u = 1.0 / u_inv_g
+            g_row = group_u[seg] * ratio / u
+            rhs_red = jax.ops.segment_sum(g_row * sym_primal, seg,
+                                          num_segments=self.mr)
+            rhs_full = jnp.concatenate([dual_r, rhs_red])
+            shift = jnp.concatenate(
+                [jnp.full(self.n, fact.delta, rhs_full.dtype),
+                 jnp.zeros(self.mr, rhs_full.dtype)])
+
+            def k_mv(v):
+                return fact.Q @ v + shift * v
+
+            sol = jnp.zeros_like(rhs_full)
+            res = rhs_full
+            for _ in range(self.pars.kkt.it_refine_num):
+                sol = sol + ldlt_mod.ldlt_solve(fact.L, fact.D, res)
+                res = rhs_full - k_mv(sol)
+            dx = sol[:self.n]
+            v = sol[self.n:]
+            tmp = -(rhs_red + group_u * v)
+            dy = sym_primal / u + (ratio / u) * tmp[seg]
+            jdx = nlp.jprod_mat(fact.Jc, dx)
+            ds = jdx - primal_r
+        elif self.kkt_type == "symmetric":
             # joint solve (symmetric.jl:59-83): K [dx; -dy] = [dual_r; sym_p]
             # plus fixed-count refinement (the unpivoted LDL^T loses digits
             # the reference's pivoted CHOLMOD keeps; refinement restores them)
@@ -504,15 +570,29 @@ class OnePhaseKernel:
             scale = self.dual_scale(p.y)  # dual_scale of candidate (y unchanged yet)
             small_step = jnp.maximum(lb, jnp.minimum(ub, alpha))
             if pars.ls.dual_ls in (1, 3):
+                # least-squares dual step (move.jl:100-117); dual_ls=3 adds
+                # the proximal term delta*dx*alpha to the dual residual
                 qv = jnp.concatenate([scale * jt_dy, scale * s_new * direction.y])
-                res = jnp.concatenate([scale * dual_res, -scale * comp_new_old_y])
+                prox = dual_res
+                if pars.ls.dual_ls == 3:
+                    prox = dual_res + st.delta * direction.x * alpha
+                res = jnp.concatenate([scale * prox, -scale * comp_new_old_y])
                 denom = jnp.sum(qv * qv)
                 alpha_D = jnp.where(denom > 0, jnp.sum(res * qv) / denom, ub)
                 alpha_D = jnp.clip(alpha_D, small_step, ub)
-            elif pars.ls.dual_ls == 0:
+            elif pars.ls.dual_ls == 2:
+                # try full step ub vs small_step, keep ub if it cuts the kkt
+                # error by kkt_reduction_factor (move.jl:84-99)
+                comp_term = jnp.max(jnp.abs(comp_new_old_y))
+                initial_err = (jnp.max(jnp.abs(dual_res)) * scale + comp_term)
+                y_big = p.y + ub * direction.y
+                big_err = (jnp.max(jnp.abs(dual_res - ub * jt_dy))
+                           * self.dual_scale(y_big)
+                           + jnp.max(jnp.abs(s_new * y_big - mu_new)))
+                take_big = big_err < initial_err * (1.0 - pars.ls.kkt_reduction_factor)
+                alpha_D = jnp.where(take_big, ub, small_step)
+            else:  # dual_ls == 0
                 alpha_D = ub
-            else:  # dual_ls == 2 — kkt-err comparison variant
-                alpha_D = ub  # TODO(parity): implement dual_ls=2 comparison
             y_new = p.y + direction.y * alpha_D
             cand_p = Point(x=x_new, y=y_new, s=s_new, mu=mu_new, beta=beta_new)
             feas_after = self.is_feasible(cand_p, pars.ls.comp_feas)
@@ -1049,7 +1129,8 @@ class OnePhaseKernel:
     def _empty_factor(self) -> Factor:
         n, m = self.n, self.m
         dt = self.dtype
-        N = n + m if self.pars.kkt.kkt_solver_type == "symmetric" else n
+        N = (n + self.mr if self.kkt_type in ("symmetric", "clever_symmetric")
+             else n)
         return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
                       H=jnp.zeros((n, n), dt), Q=jnp.zeros((N, N), dt),
                       schur_diag=jnp.zeros(n, dt),

@@ -1,0 +1,103 @@
+"""Fused Schur-complement formation kernel: Q = H + Jc^T diag(w) Jc + diag(b).
+
+This is the reference's hottest line item — 42.1% of total runtime spent in
+`eval_J_T_J + get_lag_hess` sparse triple products (schur.jl:47-62,
+docs/one-phase.tex:901-912).  The TPU design computes it as one Pallas
+kernel: the row scaling by `w`, the (MXU) J^T J contraction, the H add and
+the diagonal add are fused in VMEM — one HBM read of Jc per k-tile, one HBM
+write of Q, no intermediates.
+
+An XLA fallback (`_xla_fused_q`) expresses the same computation as a scaled
+matmul, letting the XLA fusion engine do its best; `fused_q` picks the
+implementation from config/backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _fused_q_kernel(ji_ref, jj_ref, w_ref, h_ref, b_ref, out_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        ti = out_ref.shape[0]
+        tj = out_ref.shape[1]
+        i0 = pl.program_id(0)
+        j0 = pl.program_id(1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0) + i0 * ti
+        col = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1) + j0 * tj
+        diag = jnp.where(row == col, b_ref[0, :], 0.0)
+        out_ref[:] = h_ref[:] + diag
+
+    out_ref[:] += jax.lax.dot_general(
+        ji_ref[:] * w_ref[:], jj_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k"))
+def pallas_fused_q(Jc, w, H, bnd, tile_n: int = 256, tile_k: int = 512):
+    """Q = H + Jc^T diag(w) Jc + diag(bnd) via a single fused Pallas kernel."""
+    m, n = Jc.shape
+    dt = H.dtype
+    tn = min(tile_n, _round_up(n, 128))
+    tk = min(tile_k, _round_up(max(m, 1), 8))
+    n_p = _round_up(n, tn)
+    m_p = _round_up(max(m, 1), tk)
+    Jp = jnp.zeros((m_p, n_p), dt).at[:m, :n].set(Jc)
+    wp = jnp.zeros((m_p, 1), dt).at[:m, 0].set(w)
+    Hp = jnp.zeros((n_p, n_p), dt).at[:n, :n].set(H)
+    bp = jnp.zeros((1, n_p), dt).at[0, :n].set(bnd)
+
+    grid = (n_p // tn, n_p // tn, m_p // tk)
+    out = pl.pallas_call(
+        _fused_q_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, i),
+                         memory_space=pltpu.VMEM),   # Jc k-tile, i columns
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),   # Jc k-tile, j columns
+            pl.BlockSpec((tk, 1), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),   # w k-tile
+            pl.BlockSpec((tn, tn), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),   # H tile
+            pl.BlockSpec((1, tn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),   # bnd j-tile
+        ],
+        out_specs=pl.BlockSpec((tn, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_p, n_p), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_p * n_p + n_p * n_p,
+            bytes_accessed=(m_p * n_p + n_p * n_p * 2) * Jp.dtype.itemsize,
+            transcendentals=0),
+    )(Jp, Jp, wp, Hp, bp)
+    return out[:n, :n]
+
+
+def xla_fused_q(Jc, w, H, bnd):
+    if Jc.shape[0] > 0:
+        Q = H + (Jc * w[:, None]).T @ Jc
+    else:
+        Q = H
+    return Q + jnp.diag(bnd)
+
+
+def fused_q(Jc, w, H, bnd, use_pallas: bool):
+    """Dispatch: Pallas fused kernel on TPU, XLA fusion elsewhere."""
+    if use_pallas and Jc.shape[0] > 0:
+        return pallas_fused_q(Jc, w, H, bnd)
+    return xla_fused_q(Jc, w, H, bnd)

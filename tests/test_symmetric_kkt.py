@@ -79,3 +79,42 @@ def test_mehrotra_init(prob, expect, base_pars):
     pars = base_pars.with_overrides({"init!init_style": "mehrotra"})
     r = one_phase_solve(prob(), pars)
     assert r.status == expect
+
+
+@pytest.mark.parametrize("prob", [zoo.toy_lp5, zoo.toy_lp6],
+                         ids=["toy_lp5", "toy_lp6"])
+def test_clever_direction_agreement(prob, base_pars):
+    """clever_symmetric reduced system reproduces the schur direction on the
+    parallel-row LPs built to exercise it (problems.jl:222-296)."""
+    nlp = canonicalize(prob())
+    dirs = {}
+    for solver in ("schur", "clever_symmetric"):
+        pars = base_pars.with_overrides({"kkt!kkt_solver_type": solver})
+        k = OnePhaseKernel(nlp, pars)
+        if solver == "clever_symmetric":
+            assert k.mr < k.m  # the parallel rows actually merged
+        st = k.initial_state()
+        fact = k.form_factor(st.p, st.cache, st.fact)
+        delta = 1e-8
+        LD, ok = k.factor(fact.Q, delta)
+        assert bool(ok), solver
+        fact = fact._replace(L=LD[0], D=LD[1],
+                             delta=jnp.asarray(delta, k.dtype))
+        d, ratio = k.compute_direction(fact, st.p, st.cache, 0.0, 0.0, 0.0)
+        assert float(ratio) < 1e-6, (solver, float(ratio))
+        dirs[solver] = d
+    for field in ("x", "y", "s"):
+        a = np.asarray(getattr(dirs["schur"], field))
+        b = np.asarray(getattr(dirs["clever_symmetric"], field))
+        scale = 1.0 + np.abs(a).max()
+        assert np.abs(a - b).max() / scale < 1e-6, field
+
+
+@pytest.mark.parametrize("prob,expect", [
+    (zoo.toy_lp5, "Optimal"), (zoo.toy_lp6, "Optimal"),
+    (zoo.toy_lp_inf2, "primal_infeasible")])
+def test_end_to_end_clever(prob, expect, base_pars):
+    pars = base_pars.with_overrides(
+        {"kkt!kkt_solver_type": "clever_symmetric"})
+    r = one_phase_solve(prob(), pars)
+    assert r.status == expect
