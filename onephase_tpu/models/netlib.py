@@ -79,7 +79,7 @@ def infeasible_suite(seed: int = 3) -> Dict[str, NLPSpec]:
     ucon = np.concatenate([np.full(4, 1.0), [INF]])
     out["syn_parallel_conflict"] = lp_spec(
         rng.normal(size=n), A, lcon, ucon, lvar=np.zeros(n),
-        name="syn_parallel_conflict")
+        uvar=np.full(n, 50.0), name="syn_parallel_conflict")
 
     # over-determined inconsistent equalities (lpi_woodinfe spirit)
     rng = _rng(seed + 1)

@@ -1,0 +1,118 @@
+"""Harness + model-family tests (reference H2/H3/H7 behaviors)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from onephase_tpu import one_phase_solve
+from onephase_tpu.harness import run_problems, compare_to_reference
+from onephase_tpu.models import examples, netlib
+from onephase_tpu.models.lp import lp_spec, perturb_infeasible, read_mps
+
+
+def test_infeasible_suite(base_pars):
+    probs = netlib.infeasible_suite()
+    pars = base_pars.with_overrides({"term!max_it": 200})
+    for name in ("syn_parallel_conflict", "syn_overdetermined_eq",
+                 "syn_sign_conflict"):
+        r = one_phase_solve(probs[name], pars)
+        assert r.status == "primal_infeasible", name
+
+
+def test_feasible_suite_smoke(base_pars):
+    probs = netlib.feasible_suite(sizes=((12, 16),))
+    pars = base_pars.with_overrides({"term!max_it": 200})
+    r = one_phase_solve(probs["afiro_like"], pars)
+    assert r.status == "Optimal"
+    assert r.max_violation < 1e-6
+
+
+def test_harness_resume_and_csv(tmp_path, base_pars):
+    from onephase_tpu.models import zoo
+    probs = {"lp1": zoo.toy_lp1(), "inf1": zoo.toy_lp_inf1()}
+    s1 = run_problems(probs, "campaign", pars=base_pars,
+                      out_root=str(tmp_path))
+    assert s1["lp1"].status == "optimal"
+    assert s1["inf1"].status == "primal_infeasible"
+    csv_path = tmp_path / "campaign" / "summary.csv"
+    lines = csv_path.read_text().strip().split("\n")
+    assert lines[0] == "name,it,time,fval,con,status"
+    assert len(lines) == 3
+    # resume: nothing re-runs, summary unchanged
+    s2 = run_problems(probs, "campaign", pars=base_pars,
+                      out_root=str(tmp_path))
+    assert {k: v.status for k, v in s2.items()} == \
+        {k: v.status for k, v in s1.items()}
+    # logs + history snapshots exist
+    assert (tmp_path / "campaign" / "log" / "lp1.txt").exists()
+    assert (tmp_path / "campaign" / "hist" / "lp1.json").exists()
+    assert (tmp_path / "campaign" / "par.txt").exists()
+
+
+def test_compare_to_reference(tmp_path, base_pars):
+    from onephase_tpu.models import zoo
+    ref_csv = tmp_path / "ref.csv"
+    ref_csv.write_text("name,it,time,fval,con,status\n"
+                       "lp1,7,0.1,-100.0,0.0,optimal\n")
+    s = run_problems({"lp1": zoo.toy_lp1()}, "cmp", pars=base_pars,
+                     out_root=str(tmp_path))
+    rep = compare_to_reference(s, str(ref_csv))
+    assert rep["lp1"]["status_match"]
+
+
+def test_mps_roundtrip(tmp_path):
+    mps = """NAME          TESTLP
+ROWS
+ N  COST
+ L  LIM1
+ G  LIM2
+ E  MYEQN
+COLUMNS
+    X1        COST         1.0   LIM1         1.0
+    X1        LIM2         1.0
+    X2        COST         2.0   LIM1         1.0
+    X2        MYEQN       -1.0
+    X3        COST        -1.0   MYEQN        1.0
+RHS
+    RHS       LIM1         4.0   LIM2         1.0
+    RHS       MYEQN        7.0
+BOUNDS
+ UP BND       X1           4.0
+ LO BND       X2          -1.0
+ENDATA
+"""
+    path = tmp_path / "test.mps"
+    path.write_text(mps)
+    spec = read_mps(str(path))
+    assert spec.name == "TESTLP"
+    assert spec.lcon.tolist() == [-np.inf, 1.0, 7.0]
+    assert spec.ucon.tolist() == [4.0, np.inf, 7.0]
+    assert spec.lvar.tolist() == [0.0, -1.0, 0.0]
+    assert spec.uvar[0] == 4.0
+    # solve it: min x1 + 2 x2 - x3 s.t. x1+x2<=4, x1>=1, -x2+x3=7
+    r = one_phase_solve(spec, options={"output_level": 0})
+    assert r.status == "Optimal"
+    # x3 = 7 + x2; obj = x1 + 2x2 - 7 - x2 = x1 + x2 - 7 -> x1=1, x2=-1
+    assert abs(r.obj - (1.0 - 1.0 - 7.0 + 1.0 * 0)) < 1e-3 or r.obj < -6.9
+
+
+def test_perturb_infeasible():
+    spec = lp_spec([1.0], [[1.0]], [0.0], [0.0], lvar=[0.0], uvar=[1.0])
+    shifted = perturb_infeasible(spec, scale=2.0)
+    assert shifted.lcon[0] == -2.0 and shifted.ucon[0] == -2.0
+    r = one_phase_solve(shifted, options={"output_level": 0})
+    assert r.status == "primal_infeasible"   # x = -2 violates x >= 0
+
+
+@pytest.mark.parametrize("family,kwargs,expect", [
+    (examples.chain, {"n": 20}, "Optimal"),
+    (examples.max_cut, {"n": 12, "r": 3}, "Optimal"),
+    (examples.electron, {"np_": 6}, "Optimal"),
+])
+def test_example_families(family, kwargs, expect, base_pars):
+    pars = base_pars.with_overrides({"term!max_it": 300})
+    r = one_phase_solve(family(**kwargs), pars)
+    assert r.status == expect
+    assert r.max_violation < 1e-5

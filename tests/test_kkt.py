@@ -40,9 +40,9 @@ def test_direction_matches_dense_solve(prob, eta, base_pars):
     # factor at the initial iterate with a small positive delta
     fact = k.form_factor(st.p, st.cache, st.fact)
     delta = 1e-8
-    L, ok = k.factor(fact.Q, delta)
+    (L, D), ok = k.factor(fact.Q, delta)
     assert bool(ok)
-    fact = fact._replace(L=L, delta=jnp.asarray(delta, k.dtype))
+    fact = fact._replace(L=L, D=D, delta=jnp.asarray(delta, k.dtype))
 
     d, ratio = k.compute_direction(fact, st.p, st.cache, *eta)
 
