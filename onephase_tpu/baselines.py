@@ -1,0 +1,124 @@
+"""Baseline-solver adapters for benchmark campaigns.
+
+Reference: benchmark/CUTEst/run_cutest.jl:10-98 runs NLPModelsIpopt with
+matched settings as the comparison lane.  Ipopt is not available in this
+environment; the equivalent lane here is scipy's trust-constr interior-point
+method driven by the same JAX oracles (values + first/second derivatives all
+from AD), producing the same `Result`/summary records so it can feed
+`harness.run_problems(solve_func=scipy_baseline_solve)` and the performance
+profiles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .config import Params
+from .ipm.state import (DUAL_INFEASIBLE, MAX_IT, OPTIMAL, PRIMAL_INFEASIBLE,
+                        STATUS_NAMES)
+from .nlp import CanonNLP, NLPSpec, canonicalize
+from .solver import Result
+
+
+def scipy_baseline_solve(problem, pars: Optional[Params] = None,
+                         options=None) -> Result:
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import NonlinearConstraint, minimize
+
+    pars = pars or Params()
+    if options:
+        pars = pars.with_overrides(options)
+    nlp = problem if isinstance(problem, CanonNLP) else canonicalize(problem)
+
+    f = jax.jit(nlp.f)
+    g = jax.jit(nlp.grad_f)
+
+    def fun(x):
+        return float(f(jnp.asarray(x, nlp.dtype)))
+
+    def jac(x):
+        return np.asarray(g(jnp.asarray(x, nlp.dtype)))
+
+    constraints = []
+    if nlp.m_orig > 0:
+        cfun = jax.jit(nlp.c)
+        cjac = jax.jit(nlp.jac_orig)
+        lcon = np.concatenate([
+            np.full(nlp.n_lcon, -np.inf), np.full(nlp.n_ucon, -np.inf)])
+        # express via original c(x) with its two-sided bounds
+        lc = np.full(nlp.m_orig, -np.inf)
+        uc = np.full(nlp.m_orig, np.inf)
+        lc[nlp.li] = nlp.l
+        uc[nlp.ui] = nlp.u
+        constraints.append(NonlinearConstraint(
+            lambda x: np.asarray(cfun(jnp.asarray(x, nlp.dtype))),
+            lc, uc,
+            jac=lambda x: np.asarray(cjac(jnp.asarray(x, nlp.dtype)))))
+
+    bounds = list(zip(
+        [b if np.isfinite(b) else -np.inf for b in nlp.lvar],
+        [b if np.isfinite(b) else np.inf for b in nlp.uvar]))
+
+    import time
+    t0 = time.time()
+    res = minimize(fun, np.asarray(nlp.x0), jac=jac, bounds=bounds,
+                   constraints=constraints, method="trust-constr",
+                   options={"maxiter": pars.term.max_it,
+                            "gtol": pars.term.tol_opt,
+                            "xtol": 1e-12,
+                            "verbose": 0})
+    wall = time.time() - t0
+
+    x = np.asarray(res.x)
+    a = np.asarray(nlp.a_of(jnp.asarray(x, nlp.dtype)))
+    vio = float(max(0.0, -a.min())) if a.size else 0.0
+    if res.status in (1, 2) and vio < 1e-6:
+        code = OPTIMAL
+    elif res.status == 4:
+        code = PRIMAL_INFEASIBLE
+    elif res.status == 0:
+        code = MAX_IT
+    else:
+        code = MAX_IT if res.niter >= pars.term.max_it else PRIMAL_INFEASIBLE
+
+    x_full = np.array(nlp._x_template)
+    x_full[nlp.free_idx] = x
+    return Result(
+        status=STATUS_NAMES[code], status_code=code, x=x_full,
+        obj=float(res.fun), iterations=int(res.niter), history=[],
+        y=np.zeros(nlp.m), constr_duals=np.zeros(nlp.m_orig),
+        reduced_costs=np.zeros(nlp.n_full), mu=0.0, max_violation=vio,
+        solve_time=wall)
+
+
+def performance_profile(summaries: dict, metric: str = "it_count",
+                        ratio_max: float = 1e4):
+    """Dolan-Moré performance profile data (reference: benchmark/plots.jl).
+
+    summaries: {solver_name: {problem: ProblemSummary}}.
+    Returns {solver_name: (taus, fraction_solved)} ready to plot/emit.
+    """
+    solvers = list(summaries)
+    problems = sorted(set().union(*[set(s) for s in summaries.values()]))
+    T = np.full((len(problems), len(solvers)), np.inf)
+    for j, sv in enumerate(solvers):
+        for i, p in enumerate(problems):
+            rec = summaries[sv].get(p)
+            if rec is None:
+                continue
+            ok = rec.status in ("optimal", "primal_infeasible")
+            val = getattr(rec, metric)
+            if ok and val is not None and val >= 0:
+                T[i, j] = max(float(val), 1e-9)
+    best = T.min(axis=1)
+    ratios = T / best[:, None]
+    taus = np.unique(np.clip(np.sort(ratios[np.isfinite(ratios)]),
+                             1.0, ratio_max))
+    out = {}
+    for j, sv in enumerate(solvers):
+        frac = [(ratios[:, j] <= t).mean() for t in taus]
+        out[sv] = (taus, np.asarray(frac))
+    return out

@@ -90,6 +90,10 @@ class OnePhaseKernel:
             pars.term.max_it * pars.max_it_corrections + 2)
         self.filt_cap = pars.term.max_it * pars.max_it_corrections + 2
 
+        # the reference's delta.max = 1e50 overflows f32; clamp to the dtype
+        finfo_max = float(jnp.finfo(self.dtype).max)
+        self.delta_max = min(pars.delta.max, finfo_max / 64.0)
+
         # clever_symmetric: parallel-row groups detected once at the initial
         # point (reference initialize!, clever_symmetric.jl:54-62) via the
         # native structure library
@@ -392,7 +396,7 @@ class OnePhaseKernel:
         """Returns (success, num_fac, new_delta, (L, D))."""
         pars = self.pars
         DELTA_MIN = pars.delta.min
-        DELTA_MAX = pars.delta.max
+        DELTA_MAX = self.delta_max
         dt = self.dtype
 
         tau = 1.5 * jnp.min(fact.schur_diag)
@@ -854,7 +858,7 @@ class OnePhaseKernel:
                     def on_fail(args):
                         st_c, = args
                         delta = st_c.delta
-                        can_escalate = delta < pars.delta.max
+                        can_escalate = delta < self.delta_max
                         gl = _norm_inf(self.grad_lag(st_c.cache, st_c.p.y, st_c.p.mu))
                         dxn = _norm_inf(direction.x)
                         lag_term = jnp.where((dxn > 0) & jnp.isfinite(gl / dxn),
