@@ -116,3 +116,70 @@ def test_example_families(family, kwargs, expect, base_pars):
     r = one_phase_solve(family(**kwargs), pars)
     assert r.status == expect
     assert r.max_violation < 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path, base_pars):
+    from onephase_tpu.models import zoo
+    from onephase_tpu.nlp import canonicalize
+    from onephase_tpu.parallel.batch import BatchSolver
+    from onephase_tpu.parallel.checkpoint import save_state, load_state
+    import numpy as np
+
+    solver = BatchSolver(canonicalize(zoo.circle_nc2()),
+                         base_pars.with_overrides({"chunk_size": 2,
+                                                   "history_capacity": 2}))
+    x0s = np.array([[1.0, 1.0], [0.5, 1.5]])
+    st = solver.init(x0s)
+    st = solver.run_chunk(st)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, st)
+    st2 = load_state(path, solver.init(x0s))
+    np.testing.assert_array_equal(np.asarray(st.p.x), np.asarray(st2.p.x))
+    # resume from the checkpoint and finish
+    st3 = solver.run_chunk(st2)
+    for _ in range(40):
+        import jax.numpy as jnp
+        from onephase_tpu.ipm.state import RUNNING
+        if not bool(jnp.any(st3.status == RUNNING)):
+            break
+        st3 = solver.run_chunk(st3)
+    assert all(s == "Optimal" for s in solver.statuses(st3))
+
+
+def test_woodbury_and_mineig():
+    import jax.numpy as jnp
+    import jax
+    from onephase_tpu.ops.woodbury import woodbury_solve, min_eig_inverse_iteration
+    rng = np.random.default_rng(0)
+    n, k = 12, 3
+    A = rng.normal(size=(n, n)); A = A @ A.T + np.eye(n)
+    U = rng.normal(size=(n, k)); V = rng.normal(size=(k, n))
+    C = np.diag(rng.random(k) + 0.5)
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+    Lw = jnp.linalg.cholesky(Aj)
+    solve_A = lambda v: jax.scipy.linalg.cho_solve((Lw, True), v)
+    x = woodbury_solve(solve_A, jnp.asarray(U), jnp.asarray(C),
+                       jnp.asarray(V), jnp.asarray(b),
+                       matvec_A=lambda v: Aj @ v)
+    np.testing.assert_allclose((A + U @ C @ V) @ np.asarray(x), b, atol=1e-8)
+
+    M = A - 3.0 * np.eye(n)
+    w = np.linalg.eigvalsh(M)
+    Mj = jnp.asarray(M)
+    shift = float(w.min()) - 0.5
+    Ls = jnp.linalg.cholesky(Mj - shift * jnp.eye(n))
+    lam, _ = min_eig_inverse_iteration(
+        lambda v: Mj @ v,
+        lambda v: jax.scipy.linalg.cho_solve((Ls, True), v), n)
+    assert abs(float(lam) - w.min()) < 1e-6
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from onephase_tpu.cli import main
+    main(["--problem-set", "netlib_infeasible", "--max-it", "200",
+          "--output-level", "0", "--output-dir", str(tmp_path),
+          "--test-name", "cli_smoke"])
+    out = capsys.readouterr().out
+    assert "4 problems" in out
+    assert (tmp_path / "cli_smoke" / "summary.csv").exists()
