@@ -875,8 +875,12 @@ class OnePhaseKernel:
                                                          old_delta * pars.delta.dec))
                         nd = jnp.where(can_escalate, nd, delta)
                         (Lc, Dc), okc = self.factor(st_c.fact.Q, nd)
-                        Lk = jnp.where(okc, Lc, st_c.fact.L)
-                        Dk = jnp.where(okc, Dc, st_c.fact.D)
+                        Lk = jax.tree_util.tree_map(
+                            lambda new, old: jnp.where(okc, new, old),
+                            Lc, st_c.fact.L)
+                        Dk = jax.tree_util.tree_map(
+                            lambda new, old: jnp.where(okc, new, old),
+                            Dc, st_c.fact.D)
                         st2 = st_c._replace(
                             delta=nd,
                             fact=st_c.fact._replace(L=Lk, D=Dk, delta=nd),

@@ -268,6 +268,9 @@ class CanonNLP:
     def jac_orig(self, x):
         if self.m_orig == 0:
             return jnp.zeros((0, self.n), self.dtype)
+        # forward mode costs n passes, reverse costs m_orig: pick the cheaper
+        if self.m_orig < self.n:
+            return jax.jacrev(self.c)(x)
         return jax.jacfwd(self.c)(x)
 
     # canonical products through a materialized Jc
