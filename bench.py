@@ -41,7 +41,8 @@ def make_qp(n=256, m=128, seed=0):
         lcon=np.full(m, -1.0), ucon=np.full(m, 1.0),
         lvar=np.full(n, -10.0), uvar=np.full(n, 10.0),
         x0=np.zeros(n), lin=tuple(range(m)),
-        name=f"bench_qp_n{n}_m{m}")
+        name=f"bench_qp_n{n}_m{m}",
+        constant_jac=True, constant_hess=True)
 
 
 def main():

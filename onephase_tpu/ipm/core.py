@@ -64,10 +64,36 @@ def _isbad(v):
     return jnp.any(~jnp.isfinite(v))
 
 
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat campaigns over the same
+    problem structure skip the (multi-second) solver compile entirely.
+    Opt out with ONEPHASE_NO_COMPILE_CACHE=1."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
+    import os
+    if os.environ.get("ONEPHASE_NO_COMPILE_CACHE"):
+        return
+    try:
+        cache_dir = os.environ.get(
+            "ONEPHASE_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "onephase_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class OnePhaseKernel:
     """Pure-function solver kernel for one canonical problem + parameter set."""
 
     def __init__(self, nlp: CanonNLP, pars: Params):
+        _enable_compilation_cache()
         self.nlp = nlp
         self.pars = pars
         self.dtype = nlp.dtype
@@ -93,6 +119,15 @@ class OnePhaseKernel:
         # the reference's delta.max = 1e50 overflows f32; clamp to the dtype
         finfo_max = float(jnp.finfo(self.dtype).max)
         self.delta_max = min(pars.delta.max, finfo_max / 64.0)
+
+        # constant-structure fast paths (nlp.NLPSpec.constant_jac/hess):
+        # evaluate once here; they fold into the compiled program as
+        # constants instead of being re-derived every outer iteration.
+        x0j = jnp.asarray(nlp.x0, self.dtype)
+        self._Jc_const = (nlp.jac_orig(x0j)
+                          if getattr(nlp.spec, "constant_jac", False) else None)
+        self._H_const = (nlp.lag_hess(x0j, jnp.zeros(m, self.dtype))
+                         if getattr(nlp.spec, "constant_hess", False) else None)
 
         # clever_symmetric: parallel-row groups detected once at the initial
         # point (reference initialize!, clever_symmetric.jl:54-62) via the
@@ -191,10 +226,10 @@ class OnePhaseKernel:
     # ==================================================================
     # cache construction
     # ==================================================================
-    def make_cache(self, x, y):
+    def make_cache(self, x, y, bvals=None):
         nlp = self.nlp
         cons = nlp.c(x)
-        a = nlp.a_of(x, cons)
+        a = nlp.a_of(x, cons, bvals)
         fval = nlp.f(x)
         g = nlp.grad_f(x)
         jt_y = nlp.jtprod(x, y)
@@ -257,8 +292,10 @@ class OnePhaseKernel:
         """
         nlp = self.nlp
         y_eff = p.y + p.mu * self.pars.a_norm_penalty
-        H = nlp.lag_hess(p.x, y_eff)
-        Jc = nlp.jac_orig(p.x)
+        H = (self._H_const if self._H_const is not None
+             else nlp.lag_hess(p.x, y_eff))
+        Jc = (self._Jc_const if self._Jc_const is not None
+              else nlp.jac_orig(p.x))
         if self.kkt_type == "symmetric":
             Jcan = nlp.jac_canonical(Jc)
             K = jnp.block([[H, Jcan.T],
@@ -544,7 +581,7 @@ class OnePhaseKernel:
             else:
                 cons_new = jnp.zeros((0,), dt)
                 pull = None
-            a_new = nlp.a_of(x_new, cons_new)
+            a_new = nlp.a_of(x_new, cons_new, st.bvals)
             beta_new = p.beta + direction.beta * alpha
             s_new = a_new - beta_new * st.r0
             mu_new = p.mu + direction.mu * alpha
@@ -1002,18 +1039,20 @@ class OnePhaseKernel:
         b_U = jnp.where(jnp.isfinite(uv), uv - p_U, jnp.inf)
         return jnp.clip(x0, b_L, b_U)
 
-    def _initial_state(self, x0) -> State:
+    def _initial_state(self, x0, bvals=None) -> State:
         nlp, pars = self.nlp, self.pars
         dt = self.dtype
         n, m = self.n, self.m
         mc = nlp.m_cons  # canonical rows from original constraints ("ais")
 
         x0 = jnp.asarray(x0, dt)
+        if bvals is None:
+            bvals = self.nlp.default_bvals()
         x = self.project_bounds(x0) if pars.init.start_satisfying_bounds else x0
 
         y0 = jnp.ones(m, dt)
         cons = nlp.c(x)
-        a = nlp.a_of(x, cons)
+        a = nlp.a_of(x, cons, bvals)
         g = nlp.grad_f(x)
 
         s_thres = 1e-4
@@ -1022,7 +1061,7 @@ class OnePhaseKernel:
         mu0 = d_s
 
         p0 = Point(x=x, y=y0, s=s0, mu=mu0, beta=jnp.asarray(1.0, dt))
-        cache0 = self.make_cache(x, y0)
+        cache0 = self.make_cache(x, y0, bvals)
 
         empty_fact = self._empty_factor()
         if pars.init.init_style == "gertz":
@@ -1099,7 +1138,7 @@ class OnePhaseKernel:
         y = jnp.minimum(y_c / cfa, jnp.maximum(y_t, cfa * y_c))
 
         p = Point(x=x, y=y, s=s, mu=mu, beta=jnp.asarray(1.0, dt))
-        cache = self.make_cache(x, y)
+        cache = self.make_cache(x, y, bvals)
         r0 = cache.a - s
 
         filt = Filter(merit=jnp.full(self.filt_cap, jnp.inf, dt),
@@ -1124,7 +1163,7 @@ class OnePhaseKernel:
                    agg_mask=jnp.asarray(False),
                    num_fac_inertia=jnp.asarray(0, jnp.int32),
                    tot_num_fac=jnp.asarray(0, jnp.int32),
-                   cum_fac=nfac)
+                   cum_fac=nfac, bvals=bvals)
         # init factorization failure -> MAX_DELTA (reference errors out)
         st = st._replace(status=jnp.where(succ, RUNNING, MAX_DELTA).astype(jnp.int32))
         # termination check at the starting point (one_phase.jl:152-166)

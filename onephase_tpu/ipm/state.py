@@ -146,3 +146,5 @@ class State(NamedTuple):
     num_fac_inertia: jnp.ndarray  # int32, factorizations in last inertia search
     tot_num_fac: jnp.ndarray   # int32, factorizations in last outer iteration
     cum_fac: jnp.ndarray       # int32, total factorizations this solve
+    bvals: dict                # bound VALUES {l,u,lv,uv} (traced; enables
+                               # batching over bound data, nlp.a_of)

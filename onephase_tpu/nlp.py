@@ -53,6 +53,11 @@ class NLPSpec:
     uvar: Optional[np.ndarray] = None
     lin: Sequence[int] = field(default_factory=tuple)   # indices of linear constraints
     name: str = "nlp"
+    # declare structure XLA cannot infer: constant Jacobian (all-linear
+    # constraints) / constant Lagrangian Hessian (quadratic f + linear c).
+    # The kernel then evaluates them once instead of per outer iteration.
+    constant_jac: bool = False
+    constant_hess: bool = False
 
     def __post_init__(self):
         self.x0 = np.asarray(self.x0, dtype=np.float64)
@@ -190,15 +195,33 @@ class CanonNLP:
 
     # ------------------------------------------------------------------
     # canonical constraint vector a(x) >= 0 (reference eval_a, :385-420)
-    def a_of(self, x, cvals=None):
+    #
+    # `bvals` optionally overrides the bound VALUES (l, u, lv, uv) with
+    # traced arrays of the same shapes — the finiteness pattern (which rows
+    # exist) stays static, so a batch of instances differing only in bound
+    # data (e.g. the perturbed-infeasible campaign, infeas.jl:3-33) shares
+    # one compiled solver under vmap.
+    def default_bvals(self):
+        j = self._j
+        return {"l": j["l"], "u": j["u"], "lv": j["lv"], "uv": j["uv"]}
+
+    def shifted_bvals(self, shift):
+        """Bound values for the range-shift infeasible generator:
+        lcon/ucon rows shifted by -shift, variable bounds unchanged."""
+        j = self._j
+        return {"l": j["l"] - shift, "u": j["u"] - shift,
+                "lv": j["lv"], "uv": j["uv"]}
+
+    def a_of(self, x, cvals=None, bvals=None):
+        b = bvals if bvals is not None else self._j
         j = self._j
         if cvals is None:
             cvals = self.c(x)
         return jnp.concatenate([
-            cvals[j["li"]] - j["l"],
-            j["u"] - cvals[j["ui"]],
-            x[j["lvi"]] - j["lv"],
-            j["uv"] - x[j["uvi"]],
+            cvals[j["li"]] - b["l"],
+            b["u"] - cvals[j["ui"]],
+            x[j["lvi"]] - b["lv"],
+            b["uv"] - x[j["uvi"]],
         ])
 
     # canonical J @ v given original-Jacobian action jc_v = Jc @ v

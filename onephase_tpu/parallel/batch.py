@@ -35,18 +35,29 @@ class BatchSolver:
             pars = pars.with_overrides({"history_capacity": 2})
         self.kernel = OnePhaseKernel(nlp, pars)
         self.pars = pars
-        self._init_batch = jax.jit(jax.vmap(self.kernel._initial_state))
+        self._init_batch = jax.jit(jax.vmap(
+            lambda x0: self.kernel._initial_state(x0)))
+        self._init_batch_bvals = jax.jit(jax.vmap(self.kernel._initial_state))
         self._run_batch = jax.jit(jax.vmap(self.kernel._run_chunk))
 
-    def init(self, x0s) -> State:
-        """x0s: (B, n) starting points -> batched State."""
-        return self._init_batch(jnp.asarray(x0s, self.kernel.dtype))
+    def init(self, x0s, bvals=None) -> State:
+        """x0s: (B, n) starting points -> batched State.
+
+        `bvals` optionally batches the bound VALUES (dict of (B, ...) arrays
+        from nlp.default_bvals / nlp.shifted_bvals): instances may differ in
+        constraint-range data while sharing one compiled solver — the
+        on-device analogue of the reference's perturbed-problem campaigns.
+        """
+        x0s = jnp.asarray(x0s, self.kernel.dtype)
+        if bvals is None:
+            return self._init_batch(x0s)
+        return self._init_batch_bvals(x0s, bvals)
 
     def run_chunk(self, st: State) -> State:
         return self._run_batch(st)
 
-    def solve(self, x0s, max_chunks: int = 10_000) -> State:
-        st = self.init(x0s)
+    def solve(self, x0s, bvals=None, max_chunks: int = 10_000) -> State:
+        st = self.init(x0s, bvals)
         for _ in range(max_chunks):
             if not bool(jnp.any(st.status == RUNNING)):
                 break

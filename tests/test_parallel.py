@@ -72,3 +72,20 @@ def test_sharded_indivisible_batch_rejected():
     solver = ShardedBatchSolver(nlp, _pars(), mesh=make_mesh(8))
     with pytest.raises(ValueError, match="not divisible"):
         solver.init(np.zeros((5, nlp.n)))
+
+
+def test_batched_bound_shift_campaign():
+    """The on-device analogue of the perturbed-infeasible campaign
+    (infeas.jl): one compiled solver, batch over shifted bound data."""
+    from onephase_tpu.models.netlib import feasible_suite
+    nlp = canonicalize(feasible_suite(sizes=((12, 16),))["afiro_like"])
+    solver = BatchSolver(nlp, Params().with_overrides({
+        "output_level": 0, "term.max_it": 200, "chunk_size": 50,
+        "history_capacity": 2}))
+    shifts = jnp.asarray([0.0, 25.0, 30.0])
+    bvals = jax.vmap(nlp.shifted_bvals)(shifts)
+    st = solver.solve(np.tile(nlp.x0, (3, 1)), bvals)
+    stats = solver.statuses(st)
+    assert stats[0] == "Optimal"
+    assert stats[1] == "primal_infeasible"
+    assert stats[2] == "primal_infeasible"

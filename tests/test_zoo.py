@@ -140,3 +140,13 @@ def test_history_recorded(base_pars):
     # primal residual tracks beta * r0: ends near zero on a feasible problem
     assert r.history[-1]["primal_residual"] < 1e-5
     assert r.max_violation < 1e-6
+
+
+def test_bounds_only_problem(base_pars):
+    """Bounds-only models are valid (reference: ncon counts bound rows)."""
+    from onephase_tpu import NLPSpec
+    spec = NLPSpec(f=lambda x: (x[0] - 2.0) ** 2 + (x[1] + 1.0) ** 2,
+                   x0=[0.5, 0.5], lvar=[0.0, 0.0], uvar=[1.0, 1.0])
+    r = solve(spec, base_pars)
+    assert r.status == "Optimal"
+    assert abs(r.x[0] - 1.0) < 1e-4 and abs(r.x[1]) < 1e-4
