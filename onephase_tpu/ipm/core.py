@@ -266,14 +266,25 @@ class OnePhaseKernel:
             ok = ldlt_mod.inertia_status(d, n, mr)
             return (L, d), ok
         Qd = Q + delta * jnp.eye(n, dtype=Q.dtype)
-        L = jnp.linalg.cholesky(Qd)
-        d = jnp.diagonal(L)
-        finite = jnp.all(jnp.isfinite(d))
+        if self.pars.kkt.linear_solver_type == "pallas":
+            # VMEM-resident fused factorization (ops/cholesky.py) — much
+            # faster than XLA's cholesky for batched medium systems on TPU
+            from ..ops.cholesky import pallas_chol
+            L, pok = pallas_chol(Qd)
+            d = jnp.diagonal(L)
+            finite = jnp.all(jnp.isfinite(d)) & pok
+        else:
+            L = jnp.linalg.cholesky(Qd)
+            d = jnp.diagonal(L)
+            finite = jnp.all(jnp.isfinite(d))
         pos = jnp.all(d > 0)
         rel_ok = jnp.min(d) ** 2 > self.pars.kkt.chol_pivot_tol * jnp.max(d) ** 2
         return (L, jnp.ones(n, Q.dtype)), finite & pos & rel_ok
 
     def chol_solve(self, L, b):
+        if self.pars.kkt.linear_solver_type == "pallas":
+            from ..ops.cholesky import pallas_chol_solve
+            return pallas_chol_solve(L, b)
         z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 

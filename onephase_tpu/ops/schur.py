@@ -47,9 +47,13 @@ def _fused_q_kernel(ji_ref, jj_ref, w_ref, h_ref, b_ref, out_ref):
         preferred_element_type=out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k"))
-def pallas_fused_q(Jc, w, H, bnd, tile_n: int = 256, tile_k: int = 512):
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
+def pallas_fused_q(Jc, w, H, bnd, tile_n: int = 256, tile_k: int = 512,
+                   interpret: bool = None):
     """Q = H + Jc^T diag(w) Jc + diag(bnd) via a single fused Pallas kernel."""
+    if interpret is None:
+        from . import INTERPRET
+        interpret = INTERPRET
     m, n = Jc.shape
     dt = H.dtype
     tn = min(tile_n, _round_up(n, 128))
@@ -84,6 +88,7 @@ def pallas_fused_q(Jc, w, H, bnd, tile_n: int = 256, tile_k: int = 512):
             flops=2 * m_p * n_p * n_p + n_p * n_p,
             bytes_accessed=(m_p * n_p + n_p * n_p * 2) * Jp.dtype.itemsize,
             transcendentals=0),
+        interpret=interpret,
     )(Jp, Jp, wp, Hp, bp)
     return out[:n, :n]
 
@@ -97,7 +102,13 @@ def xla_fused_q(Jc, w, H, bnd):
 
 
 def fused_q(Jc, w, H, bnd, use_pallas: bool):
-    """Dispatch: Pallas fused kernel on TPU, XLA fusion elsewhere."""
-    if use_pallas and Jc.shape[0] > 0:
+    """Dispatch: Pallas fused kernel on TPU, XLA fusion elsewhere.
+
+    Interpreter mode (ops.INTERPRET) cannot emulate grid/program_id in this
+    JAX version, so it falls back to the XLA expression — the grid-free
+    cholesky/solve kernels are the ones interpret-mode tests exercise.
+    """
+    from . import INTERPRET
+    if use_pallas and Jc.shape[0] > 0 and not INTERPRET:
         return pallas_fused_q(Jc, w, H, bnd)
     return xla_fused_q(Jc, w, H, bnd)

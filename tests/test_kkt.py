@@ -125,3 +125,40 @@ def test_lag_hess():
     Hfd = np.asarray(jax.jacfwd(lag_grad)(x))
     np.testing.assert_allclose(H, Hfd, atol=1e-8)
     np.testing.assert_allclose(H, H.T, atol=1e-12)
+
+
+def test_pallas_kernels_interpret():
+    """Pallas chol + fused solve in interpreter mode vs numpy."""
+    import jax
+    from onephase_tpu.ops.cholesky import pallas_chol, pallas_chol_solve
+    rng = np.random.default_rng(3)
+    n = 40
+    M = rng.normal(size=(n, n)).astype(np.float32)
+    Q = jnp.asarray(M @ M.T + 3 * np.eye(n, dtype=np.float32))
+    L, ok = pallas_chol(Q, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(np.asarray(Q)),
+                               atol=2e-5)
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    x = pallas_chol_solve(L, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(Q) @ np.asarray(x), np.asarray(b),
+                               atol=2e-4)
+    # non-PD detection
+    _, ok2 = pallas_chol(Q - 50.0 * jnp.eye(n), interpret=True)
+    assert not bool(ok2)
+
+
+def test_end_to_end_pallas_solver_interpret():
+    """Full solve with linear_solver_type=pallas (interpret on CPU)."""
+    import onephase_tpu.ops as ops
+    from onephase_tpu import one_phase_solve
+    from onephase_tpu.models import zoo
+    ops.INTERPRET = True
+    try:
+        r = one_phase_solve(zoo.circle1(), options={
+            "output_level": 0, "term!max_it": 81,
+            "kkt!linear_solver_type": "pallas"})
+    finally:
+        ops.INTERPRET = False
+    assert r.status == "Optimal"
+    assert abs(r.x[0] - 1.0) < 1e-3
