@@ -119,6 +119,11 @@ class OnePhaseKernel:
         # the reference's delta.max = 1e50 overflows f32; clamp to the dtype
         finfo_max = float(jnp.finfo(self.dtype).max)
         self.delta_max = min(pars.delta.max, finfo_max / 64.0)
+        # relative pivot tolerance scales with machine epsilon: reject
+        # factorizations with cond(Q) beyond what the dtype can solve
+        # (~1e15 in f64, ~3e6 in f32)
+        eps = float(jnp.finfo(self.dtype).eps)
+        self.chol_pivot_tol = max(pars.kkt.chol_pivot_tol, eps / 2.0)
 
         # constant-structure fast paths (nlp.NLPSpec.constant_jac/hess):
         # evaluate once here; they fold into the compiled program as
@@ -278,7 +283,7 @@ class OnePhaseKernel:
             d = jnp.diagonal(L)
             finite = jnp.all(jnp.isfinite(d))
         pos = jnp.all(d > 0)
-        rel_ok = jnp.min(d) ** 2 > self.pars.kkt.chol_pivot_tol * jnp.max(d) ** 2
+        rel_ok = jnp.min(d) ** 2 > self.chol_pivot_tol * jnp.max(d) ** 2
         return (L, jnp.ones(n, Q.dtype)), finite & pos & rel_ok
 
     def chol_solve(self, L, b):
