@@ -27,9 +27,7 @@ Deliberate deviations from the reference (documented where they occur):
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -343,9 +341,16 @@ class OnePhaseKernel:
                       ok=jnp.asarray(False))
 
     def refine_solve(self, fact: Factor, schur_rhs):
-        """Fixed-count iterative refinement (schur.jl:131-182)."""
+        """Fixed-count iterative refinement (schur.jl:131-182).
+
+        With `kkt.it_refine_highprec` the residual matvecs run in
+        double-single arithmetic (ops/refine.py) — the TPU-native stand-in
+        for the reference's f64/BigFloat accumulators (schur.jl:154-156).
+        """
         nlp = self.nlp
         S_vec = fact.y_f / fact.s_f
+        if self.pars.kkt.it_refine_highprec:
+            return self._refine_solve_hp(fact, schur_rhs, S_vec)
         dx = jnp.zeros_like(schur_rhs)
         res = schur_rhs
         for _ in range(self.pars.kkt.it_refine_num):
@@ -354,6 +359,33 @@ class OnePhaseKernel:
             hess_res = fact.H @ dx + fact.delta * dx
             res = schur_rhs - (jac_res + hess_res)
         return dx
+
+    def _refine_solve_hp(self, fact: Factor, schur_rhs, S_vec):
+        from ..ops import refine as dsr
+        nlp = self.nlp
+        wc, bnd = nlp.split_canonical_sq(S_vec)
+        diag_term = bnd + fact.delta          # bound rows of J^T D J + delta
+        zeros = jnp.zeros_like(schur_rhs)
+        dx_hi, dx_lo = zeros, zeros
+        res_hi, res_lo = schur_rhs, zeros
+        for _ in range(self.pars.kkt.it_refine_num):
+            e = self.chol_solve(fact.L, res_hi + res_lo)
+            dx_hi, dx_lo = dsr.ds_add(dx_hi, dx_lo, e, jnp.zeros_like(e))
+            # A dx = Jc^T (wc * (Jc dx)) + (bnd + delta) dx + H dx, all ds
+            if nlp.m_orig > 0:
+                u_hi, u_lo = dsr.ds_matvec(fact.Jc, dx_hi, dx_lo)
+                v_hi, v_e = dsr.two_prod(wc, u_hi)
+                v_lo = v_e + wc * u_lo
+                w_hi, w_lo = dsr.ds_matvec(fact.Jc.T, v_hi, v_lo)
+            else:
+                w_hi, w_lo = zeros, zeros
+            h_hi, h_lo = dsr.ds_matvec(fact.H, dx_hi, dx_lo)
+            d_hi, d_e = dsr.two_prod(diag_term, dx_hi)
+            d_lo = d_e + diag_term * dx_lo
+            a_hi, a_lo = dsr.ds_add(w_hi, w_lo, h_hi, h_lo)
+            a_hi, a_lo = dsr.ds_add(a_hi, a_lo, d_hi, d_lo)
+            res_hi, res_lo = dsr.ds_add(schur_rhs, zeros, -a_hi, -a_lo)
+        return dx_hi + dx_lo
 
     def build_rhs(self, p: Point, cache: Cache, eta_P, eta_D, eta_mu):
         """System_rhs (system_rhs.jl:39-74)."""
@@ -726,7 +758,10 @@ class OnePhaseKernel:
 
             def run(_):
                 tstat, sugg, tp, tc, aD = trial(alpha)
-                return (sugg, i + 1, tstat, aD, tp, tc)
+                # keep the ACCEPTED alpha on success (the reference reports
+                # step_size_P of the accepted trial, not the next backtrack)
+                next_alpha = jnp.where(tstat == LS_SUCCESS, alpha, sugg)
+                return (next_alpha, i + 1, tstat, aD, tp, tc)
 
             def stop(_):
                 return (alpha, i, jnp.asarray(LS_MIN_ALPHA, jnp.int32), alpha_D, cp, cc)

@@ -162,3 +162,21 @@ def test_end_to_end_pallas_solver_interpret():
         ops.INTERPRET = False
     assert r.status == "Optimal"
     assert abs(r.x[0] - 1.0) < 1e-3
+
+
+def test_double_single_matvec():
+    """ds_matvec residual arithmetic: ~2x-precision from f32 ops."""
+    from onephase_tpu.ops import refine as dsr
+    rng = np.random.default_rng(0)
+    n = 150
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    x = rng.normal(size=n).astype(np.float32)
+    hi, lo = dsr.ds_matvec(jnp.asarray(A), jnp.asarray(x))
+    ref = A.astype(np.float64) @ x.astype(np.float64)
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    err_ds = np.abs(got - ref).max() / np.abs(ref).max()
+    err_f32 = np.abs(np.asarray(jnp.asarray(A) @ jnp.asarray(x), np.float64)
+                     - ref).max() / np.abs(ref).max()
+    assert err_ds < err_f32 / 50.0      # at least ~1.7 digits better
+    s, e = dsr.two_sum(jnp.float32(1.0), jnp.float32(1e-9))
+    assert float(s) == 1.0 and abs(float(e) - 1e-9) < 1e-12
