@@ -50,35 +50,35 @@ def _chol_kernel(a_ref, l_ref, ok_ref):
 
 def _chol_solve_kernel(l_ref, b_ref, x_ref):
     """Fused forward+backward substitution: solve L L^T x = b in one
-    kernel launch (two latency-bound XLA trisolves become one VMEM pass)."""
+    kernel launch (two latency-bound XLA trisolves become one VMEM pass).
+
+    b/x are carried as (1, n) rows and every intermediate stays 2-D: Mosaic's
+    layout inference rejects 1-D loop carries, and a (1, n) row block stays
+    lowerable when `jax.vmap` adds a leading (squeezed) batch grid dim."""
     n = l_ref.shape[0]
     L = l_ref[:]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
-    diag = jnp.sum(jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1), L, 0.0), axis=1)
-    dinv = 1.0 / diag
+    LT = L.T  # one relayout so the forward sweep reads columns of L as rows
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    dinv = 1.0 / jnp.sum(jnp.where(row == col, L, 0.0), axis=0, keepdims=True)
 
     # forward: column-sweep on y = L^{-1} b
     def fwd(j, y):
-        yj = jnp.sum(jnp.where(idx == j, y, 0.0)) * \
-            jnp.sum(jnp.where(idx == j, dinv, 0.0))
-        colj = jnp.sum(jnp.where((idx == j)[None, :], L, 0.0), axis=1)
+        yj = jnp.sum(jnp.where(idx == j, y * dinv, 0.0))
+        colj = jnp.sum(jnp.where(row == j, LT, 0.0), axis=0, keepdims=True)
         upd = jnp.where(idx > j, colj * yj, 0.0)
-        y = jnp.where(idx == j, yj, y - upd)
-        return y
+        return jnp.where(idx == j, yj, y - upd)
 
     y = jax.lax.fori_loop(0, n, fwd, b_ref[:])
 
     # backward: column-sweep on x = L^{-T} y (rows of L = columns of L^T)
     def bwd(jj, x):
         j = n - 1 - jj
-        xj = jnp.sum(jnp.where(idx == j, x, 0.0)) * \
-            jnp.sum(jnp.where(idx == j, dinv, 0.0))
-        rowj = jnp.sum(jnp.where((idx == j)[:, None], L, 0.0), axis=0)
+        xj = jnp.sum(jnp.where(idx == j, x * dinv, 0.0))
+        rowj = jnp.sum(jnp.where(row == j, L, 0.0), axis=0, keepdims=True)
         upd = jnp.where(idx < j, rowj * xj, 0.0)
-        x = jnp.where(idx == j, xj, x - upd)
-        return x
+        return jnp.where(idx == j, xj, x - upd)
 
     x_ref[:] = jax.lax.fori_loop(0, n, bwd, y)
 
@@ -90,9 +90,9 @@ def pallas_chol_solve(L, b, interpret: bool = None):
         from . import INTERPRET
         interpret = INTERPRET
     n = L.shape[-1]
-    return pl.pallas_call(
+    x = pl.pallas_call(
         _chol_solve_kernel,
-        out_shape=jax.ShapeDtypeStruct((n,), L.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, n), L.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -100,7 +100,8 @@ def pallas_chol_solve(L, b, interpret: bool = None):
         cost_estimate=pl.CostEstimate(
             flops=2 * n * n, transcendentals=0,
             bytes_accessed=(n * n + 2 * n) * L.dtype.itemsize),
-    )(L, b)
+    )(L, b.reshape(1, n))
+    return x[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
