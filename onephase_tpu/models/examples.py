@@ -150,3 +150,39 @@ def chain(n: int = 50) -> NLPSpec:
     return NLPSpec(f=f, c=c,
                    lcon=np.full(n - 1, -INF), ucon=np.full(n - 1, 4.0),
                    x0=np.full(n, -1.2), name=f"chain{n}")
+
+
+def two_stage_qp(K: int = 4, nz: int = 3, nx: int = 4, seed: int = 0):
+    """Two-stage scenario QP for the arrow-KKT path (parallel/scenario.py):
+    first-stage cost f0(z) + per-scenario recourse QPs with coupling
+    constraints ck = Ak xk + Gk z - bk >= 0.  The scenario-structured
+    analogue of the reference's ECON models (benchmark/Tax-problem)."""
+    import jax
+    from ..parallel.scenario import TwoStageSpec
+
+    rng = np.random.default_rng(seed)
+    Ak = jnp.asarray(rng.normal(size=(K, 2, nx)))
+    Gk = jnp.asarray(rng.normal(size=(K, 2, nz)) * 0.5)
+    bk = jnp.asarray(rng.normal(size=(K, 2)) * 0.1)
+    Pk = rng.normal(size=(K, nx, nx))
+    Pk = jnp.asarray(np.einsum("kij,klj->kil", Pk, Pk) / nx
+                     + np.eye(nx) * 0.5)
+    qk = jnp.asarray(rng.normal(size=(K, nx)))
+
+    data = {"A": Ak, "G": Gk, "b": bk, "P": Pk, "q": qk}
+
+    def f0(z):
+        return 0.5 * jnp.sum(z ** 2) + 0.1 * jnp.sum(z)
+
+    def fk(xk, z, d):
+        return 0.5 * xk @ d["P"] @ xk + d["q"] @ xk + 0.2 * jnp.dot(z, z)
+
+    def ck(xk, z, d):
+        return d["A"] @ xk + d["G"] @ z - d["b"]
+
+    return TwoStageSpec(
+        f0=f0, fk=fk, ck=ck, data=data, K=K, nz=nz, nx=nx, mc=2,
+        lcon=np.zeros(2), ucon=np.full(2, np.inf),
+        lz=np.full(nz, -5.0), uz=np.full(nz, 5.0),
+        lx=np.full(nx, -10.0), ux=np.full(nx, 10.0),
+        z0=np.zeros(nz), x0=np.zeros(nx), name="two_stage_qp")

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
 from ..config import Params
 from ..ipm.core import OnePhaseKernel, _norm_inf
 from ..ipm.state import Cache, Dir, Factor, Point
@@ -89,17 +91,51 @@ class ScenarioKernel(OnePhaseKernel):
     linear algebra is overridden.
     """
 
-    def __init__(self, spec: TwoStageSpec, pars: Params, dtype=None):
+    def __init__(self, spec: TwoStageSpec, pars: Params, dtype=None,
+                 mesh: Optional[Mesh] = None, scen_axis: str = "blk"):
+        """With `mesh`, the scenario axis is sharded over `scen_axis` under
+        GSPMD: every K-leading tensor (jacobian/hessian blocks, Q_kk, B_k,
+        scenario Cholesky factors) carries a sharding constraint, so the
+        per-scenario factorizations run device-local and the border sums
+        (sum_k B_k^T Q_kk^{-1} B_k and its solve-side twin) lower to one
+        all-reduce over ICI — the GSPMD form of
+        ops/block_schur.sharded_arrow_factor_solve.
+        """
         self.spec = spec
+        self.mesh = mesh
+        self.scen_axis = scen_axis
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                                 if a == scen_axis]))
+            if spec.K % max(n_dev, 1) != 0:
+                raise ValueError(
+                    f"K={spec.K} not divisible by mesh axis "
+                    f"'{scen_axis}' size {n_dev}")
+            # scenario data lives sharded on device from the start
+            spec.data = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    jnp.asarray(a), self._k_sharding(jnp.asarray(a).ndim)),
+                spec.data)
         nlp = canonicalize(spec.to_nlpspec(), dtype=dtype)
         if pars.kkt.kkt_solver_type != "schur":
             raise ValueError("ScenarioKernel implements the schur path only")
         super().__init__(nlp, pars)
 
+    def _k_sharding(self, ndim):
+        return NamedSharding(self.mesh,
+                             P(self.scen_axis, *([None] * (ndim - 1))))
+
+    def _shard_k(self, arr):
+        """Sharding constraint on a K-leading tensor (no-op without mesh)."""
+        if self.mesh is None:
+            return arr
+        return jax.lax.with_sharding_constraint(
+            arr, self._k_sharding(arr.ndim))
+
     # ---------------- structured pieces ------------------------------
     def _split_x(self, x):
         sp = self.spec
-        return x[:sp.nz], x[sp.nz:].reshape(sp.K, sp.nx)
+        return x[:sp.nz], self._shard_k(x[sp.nz:].reshape(sp.K, sp.nx))
 
     def _scenario_jacs(self, x):
         """Jx (K, mc, nx), Jz (K, mc, nz) of ck at (x)."""
@@ -111,7 +147,8 @@ class ScenarioKernel(OnePhaseKernel):
             jz = jax.jacrev(lambda b: sp.ck(xk, b, d))(z)
             return jx, jz
 
-        return jax.vmap(one)(X, sp.data)
+        Jx, Jz = jax.vmap(one)(X, sp.data)
+        return self._shard_k(Jx), self._shard_k(Jz)
 
     def _split_wc(self, wc):
         """(K*mc,) original-constraint weights -> (K, mc)."""
@@ -135,8 +172,9 @@ class ScenarioKernel(OnePhaseKernel):
             return hxx, hxz, hzz
 
         Hkk, Hkz, Hzz_k = jax.vmap(blocks)(X, sp.data, W)
-        Hzz = jax.hessian(sp.f0)(z) + jnp.sum(Hzz_k, 0)
-        return Hzz, Hkk, Hkz
+        # the K-sum lowers to an all-reduce when scenarios are sharded
+        Hzz = jax.hessian(sp.f0)(z) + jnp.sum(self._shard_k(Hzz_k), 0)
+        return Hzz, self._shard_k(Hkk), self._shard_k(Hkz)
 
     def _hess_mv(self, H, v):
         Hzz, Hkk, Hkz = H
@@ -160,8 +198,8 @@ class ScenarioKernel(OnePhaseKernel):
 
         Hzz, Hkk, Hkz = H
         Qkk = Hkk + jnp.einsum("kmx,km,kmy->kxy", Jx, W, Jx)
-        Qkk = Qkk + jax.vmap(jnp.diag)(bnd_X)
-        Bk = Hkz + jnp.einsum("kmx,km,kmz->kxz", Jx, W, Jz)
+        Qkk = self._shard_k(Qkk + jax.vmap(jnp.diag)(bnd_X))
+        Bk = self._shard_k(Hkz + jnp.einsum("kmx,km,kmz->kxz", Jx, W, Jz))
         Qzz = (Hzz + jnp.sum(jnp.einsum("kmz,km,kmw->kzw", Jz, W, Jz), 0)
                + jnp.diag(bnd_z))
         schur_diag = jnp.concatenate([
@@ -173,8 +211,9 @@ class ScenarioKernel(OnePhaseKernel):
 
     def factor(self, Q, delta):
         Qzz, Qkk, Bk = Q
-        f = arrow_factor(Qzz, Qkk, Bk, delta)
-        return ((f.Lk, f.LS), jnp.zeros(1, Qzz.dtype)), f.ok
+        f = arrow_factor(Qzz, self._shard_k(Qkk), self._shard_k(Bk), delta)
+        return ((self._shard_k(f.Lk), f.LS),
+                jnp.zeros(1, Qzz.dtype)), f.ok
 
     def _arrow_solve(self, fact, rhs):
         Lk, LS = fact.L

@@ -12,35 +12,7 @@ from onephase_tpu.nlp import canonicalize
 from onephase_tpu.parallel.scenario import ScenarioKernel, TwoStageSpec
 
 
-def make_two_stage(K=4, nz=3, nx=4, seed=0):
-    """Two-stage QP: first-stage cost + per-scenario recourse QPs with
-    coupling constraints ck = Ak xk + Gk z - bk >= 0."""
-    rng = np.random.default_rng(seed)
-    Ak = jnp.asarray(rng.normal(size=(K, 2, nx)))
-    Gk = jnp.asarray(rng.normal(size=(K, 2, nz)) * 0.5)
-    bk = jnp.asarray(rng.normal(size=(K, 2)) * 0.1)
-    Pk = rng.normal(size=(K, nx, nx))
-    Pk = jnp.asarray(np.einsum("kij,klj->kil", Pk, Pk) / nx
-                     + np.eye(nx) * 0.5)
-    qk = jnp.asarray(rng.normal(size=(K, nx)))
-
-    data = {"A": Ak, "G": Gk, "b": bk, "P": Pk, "q": qk}
-
-    def f0(z):
-        return 0.5 * jnp.sum(z ** 2) + 0.1 * jnp.sum(z)
-
-    def fk(xk, z, d):
-        return 0.5 * xk @ d["P"] @ xk + d["q"] @ xk + 0.2 * jnp.dot(z, z)
-
-    def ck(xk, z, d):
-        return d["A"] @ xk + d["G"] @ z - d["b"]
-
-    return TwoStageSpec(
-        f0=f0, fk=fk, ck=ck, data=data, K=K, nz=nz, nx=nx, mc=2,
-        lcon=np.zeros(2), ucon=np.full(2, np.inf),
-        lz=np.full(nz, -5.0), uz=np.full(nz, 5.0),
-        lx=np.full(nx, -10.0), ux=np.full(nx, 10.0),
-        z0=np.zeros(nz), x0=np.zeros(nx), name="two_stage_qp")
+from onephase_tpu.models.examples import two_stage_qp as make_two_stage
 
 
 def _pars():
@@ -98,3 +70,38 @@ def test_scenario_end_to_end_matches_generic():
     np.testing.assert_allclose(x_s, r.x, atol=1e-5)
     # same iteration count: the structured path reproduces the trajectory
     assert abs(int(st.t) - 1 - r.iterations) <= 1
+
+
+def test_scenario_sharded_matches_unsharded():
+    """GSPMD scenario sharding: K=8 scenarios over an 8-device blk mesh
+    must reproduce the unsharded trajectory, and the compiled program must
+    contain a cross-device reduction for the border assembly."""
+    from onephase_tpu.parallel.mesh import make_mesh
+
+    spec = make_two_stage(K=8)
+    pars = _pars()
+    mesh = make_mesh(8, axis="blk")
+    sk_sharded = ScenarioKernel(make_two_stage(K=8), pars, mesh=mesh)
+    sk_plain = ScenarioKernel(spec, pars)
+
+    st_s = sk_sharded.initial_state()
+    st_p = sk_plain.initial_state()
+    st_s = sk_sharded.run_chunk(st_s)
+    st_p = sk_plain.run_chunk(st_p)
+    assert int(st_s.status) == OPTIMAL
+    assert int(st_p.status) == OPTIMAL
+    np.testing.assert_allclose(np.asarray(st_s.p.x), np.asarray(st_p.p.x),
+                               atol=1e-7)
+    assert int(st_s.t) == int(st_p.t)
+
+    # the factor path really communicates: border sums become all-reduces
+    hlo = sk_sharded.run_chunk.lower(st_s).compile().as_text()
+    assert "all-reduce" in hlo
+
+
+def test_scenario_sharded_rejects_indivisible_k():
+    from onephase_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError):
+        ScenarioKernel(make_two_stage(K=6), _pars(),
+                       mesh=make_mesh(8, axis="blk"))
