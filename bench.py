@@ -91,6 +91,8 @@ def _bench():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     m = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    lst = sys.argv[4] if len(sys.argv) > 4 else os.environ.get(
+        "ONEPHASE_LST", "invchol")
 
     import jax
     import jax.numpy as jnp
@@ -109,6 +111,7 @@ def _bench():
         "term.tol_opt": 1e-4,     # f32-appropriate tolerance
         "chunk_size": 20,
         "history_capacity": 2,
+        "kkt.linear_solver_type": lst,
     })
     nlp = canonicalize(make_qp(n, m), dtype=dtype)
     solver = BatchSolver(nlp, pars)
@@ -137,7 +140,7 @@ def _bench():
     res = {
         "metric": "kkt_factorizations_per_s_per_chip",
         "value": round(fac_per_s, 2),
-        "unit": f"fac/s (n={n}, m={m}, batch={batch}, "
+        "unit": f"fac/s (n={n}, m={m}, batch={batch}, {lst}, "
                 f"{total_outer} outer its in {dt:.2f}s)",
         "vs_baseline": round(fac_per_s / BASELINE_FAC_PER_S, 2),
     }

@@ -29,7 +29,10 @@ class KKTParams:
     it_refine_num: int = 3            # fixed-count iterative refinement (schur.jl:158)
     it_refine_highprec: bool = False  # f64-compensated residual accumulation (ref: BigFloat)
     kkt_solver_type: str = "schur"    # schur | symmetric (reference default :schur)
-    linear_solver_type: str = "xla"   # xla | pallas  (reference: julia/HSL/mumps)
+    # xla: chol + triangular solves; invchol: chol + explicit-inverse matvec
+    # solves; pallas: blocked Pallas chol + inverse (TPU).  (The reference's
+    # julia/HSL/mumps backend selection, linear_system_solvers.jl:11-33.)
+    linear_solver_type: str = "xla"
     kkt_system_rescale: str = "none"
     # relative pivot tolerance for the Cholesky inertia test: reject the
     # factorization when min(pivot)^2 <= tol * max(pivot)^2 (emulates sparse

@@ -119,6 +119,65 @@ def run_problems(problems: Dict[str, NLPSpec], test_name: str,
     return summary
 
 
+def run_lp_directory(path: str, test_name: str,
+                     pars: Optional[Params] = None,
+                     out_root: str = "results",
+                     round_to: int = 64,
+                     max_batch: int = 256,
+                     perturb: float = 0.0) -> Dict[str, ProblemSummary]:
+    """Solve every MPS file under `path` as shape-bucketed on-device batches.
+
+    The TPU-native replacement for the reference's per-problem Netlib sweep
+    (benchmark/Netlib/run_netlib.jl): instead of one process per LP, the
+    directory is padded into a few shape classes and each class runs as one
+    vmapped batch (parallel/buckets.py).  `perturb > 0` shifts all
+    constraint ranges by -perturb (the infeasible-set generator,
+    reference infeas.jl:3-33).
+    """
+    import glob
+
+    from .models.lp import read_mps_data
+    from .parallel.buckets import solve_bucketed
+
+    pars = pars or Params()
+    out = os.path.join(out_root, test_name)
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "par.txt"), "w") as fh:
+        pars.write_pars(fh)
+
+    problems = {}
+    for f in sorted(glob.glob(os.path.join(path, "*"))):
+        if not f.lower().endswith((".mps", ".mps.gz", ".sif")):
+            continue
+        try:
+            d = read_mps_data(f)
+        except Exception as e:  # noqa: BLE001 — skip unreadable files
+            print(f"skipping {f}: {type(e).__name__}: {e}")
+            continue
+        if perturb:
+            d.lcon = d.lcon - perturb
+            d.ucon = d.ucon - perturb
+        problems[d.name] = d
+
+    t0 = time.time()
+    res = solve_bucketed(problems, pars, round_to=round_to, max_batch=max_batch)
+    wall = time.time() - t0
+
+    summary = {}
+    for name, r in res.items():
+        summary[name] = ProblemSummary(
+            status=TABLE_STATUS.get(r.status, r.status),
+            it_count=r.iterations, total_time=wall / max(1, len(res)),
+            fval=r.obj, con_vio=r.max_violation,
+            number_variables=len(r.x))
+    with open(os.path.join(out, "summary.json"), "w") as fh:
+        json.dump({k: asdict(v) for k, v in summary.items()}, fh, indent=1)
+    write_csv(os.path.join(out, "summary.csv"), summary)
+    print(f"{len(summary)} LPs in {wall:.1f}s "
+          f"({len(set((p.n, p.m) for p in problems.values()))} raw shapes)")
+    return summary
+
+
 def write_csv(path: str, summary: Dict[str, ProblemSummary]) -> None:
     """Emit the benchmark-tables CSV format: name,it,time,fval,con,status."""
     with open(path, "w") as fh:

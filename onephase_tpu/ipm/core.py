@@ -126,11 +126,18 @@ class OnePhaseKernel:
         # constant-structure fast paths (nlp.NLPSpec.constant_jac/hess):
         # evaluate once here; they fold into the compiled program as
         # constants instead of being re-derived every outer iteration.
+        # Parametric problems cannot fold (data varies per instance); they
+        # instead evaluate once per solve in _initial_state and reuse the
+        # value carried in Factor (form_factor).
         x0j = jnp.asarray(nlp.x0, self.dtype)
+        cjac = getattr(nlp.spec, "constant_jac", False)
+        chess = getattr(nlp.spec, "constant_hess", False)
+        self._param_const_jac = cjac and nlp.parametric
+        self._param_const_hess = chess and nlp.parametric
         self._Jc_const = (nlp.jac_orig(x0j)
-                          if getattr(nlp.spec, "constant_jac", False) else None)
+                          if cjac and not nlp.parametric else None)
         self._H_const = (nlp.lag_hess(x0j, jnp.zeros(m, self.dtype))
-                         if getattr(nlp.spec, "constant_hess", False) else None)
+                         if chess and not nlp.parametric else None)
 
         # clever_symmetric: parallel-row groups detected once at the initial
         # point (reference initialize!, clever_symmetric.jl:54-62) via the
@@ -229,14 +236,14 @@ class OnePhaseKernel:
     # ==================================================================
     # cache construction
     # ==================================================================
-    def make_cache(self, x, y, bvals=None):
+    def make_cache(self, x, y, bvals=None, pdata=None):
         nlp = self.nlp
-        cons = nlp.c(x)
+        cons = nlp.c(x, pdata)
         a = nlp.a_of(x, cons, bvals)
-        fval = nlp.f(x)
-        g = nlp.grad_f(x)
-        jt_y = nlp.jtprod(x, y)
-        jt_ones = nlp.jtprod_ones(x)
+        fval = nlp.f(x, pdata)
+        g = nlp.grad_f(x, pdata)
+        jt_y = nlp.jtprod(x, y, pdata)
+        jt_ones = nlp.jtprod_ones(x, pdata)
         return Cache(fval=fval, cons=cons, a=a, g=g, jt_y=jt_y, jt_ones=jt_ones)
 
     # ==================================================================
@@ -270,11 +277,9 @@ class OnePhaseKernel:
             return (L, d), ok
         Qd = Q + delta * jnp.eye(n, dtype=Q.dtype)
         if self.pars.kkt.linear_solver_type == "pallas":
-            # VMEM-resident fused factorization (ops/cholesky.py) — much
-            # faster than XLA's cholesky for batched medium systems on TPU
+            # blocked VMEM-resident factorization (ops/cholesky.py)
             from ..ops.cholesky import pallas_chol
-            L, pok = pallas_chol(Qd)
-            d = jnp.diagonal(L)
+            L, d, pok = pallas_chol(Qd)
             finite = jnp.all(jnp.isfinite(d)) & pok
         else:
             L = jnp.linalg.cholesky(Qd)
@@ -284,17 +289,39 @@ class OnePhaseKernel:
         rel_ok = jnp.min(d) ** 2 > self.chol_pivot_tol * jnp.max(d) ** 2
         return (L, jnp.ones(n, Q.dtype)), finite & pos & rel_ok
 
+    def finalize_solver(self, L):
+        """Turn a successful Cholesky factor into the solve operator.
+
+        TPU-native design: for the `pallas`/`invchol` backends the operator
+        is the explicit inverse M = L^-T L^-1 (ops/cholesky.py) so every
+        backsolve — ~10 per outer iteration plus refinement passes
+        (docs/one-phase.tex:908) — is a single MXU matvec instead of two
+        latency-bound triangular solves.  Called once per accepted
+        factorization; the delta-search attempts stay chol-only.
+        """
+        if self.kkt_type != "schur":
+            return L
+        lst = self.pars.kkt.linear_solver_type
+        if lst == "pallas":
+            from ..ops.cholesky import pallas_tri_inv_gram
+            return pallas_tri_inv_gram(L)
+        if lst == "invchol":
+            from ..ops.cholesky import xla_chol_inv_from_L
+            return xla_chol_inv_from_L(L)
+        return L
+
     def chol_solve(self, L, b):
-        if self.pars.kkt.linear_solver_type == "pallas":
-            from ..ops.cholesky import pallas_chol_solve
-            return pallas_chol_solve(L, b)
+        """Apply the solve operator produced by factor+finalize_solver."""
+        if self.pars.kkt.linear_solver_type in ("pallas", "invchol"):
+            return L @ b  # L slot holds M = Q^-1
         z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
     # ==================================================================
     # KKT system (reference: schur.jl)
     # ==================================================================
-    def form_factor(self, p: Point, cache: Cache, prev: Factor) -> Factor:
+    def form_factor(self, p: Point, cache: Cache, prev: Factor,
+                    pdata=None) -> Factor:
         """form_system!.
 
         Schur path (default): Q = H_L + J^T diag(y/s) J (schur.jl:47-62).
@@ -306,10 +333,18 @@ class OnePhaseKernel:
         """
         nlp = self.nlp
         y_eff = p.y + p.mu * self.pars.a_norm_penalty
-        H = (self._H_const if self._H_const is not None
-             else nlp.lag_hess(p.x, y_eff))
-        Jc = (self._Jc_const if self._Jc_const is not None
-              else nlp.jac_orig(p.x))
+        if self._H_const is not None:
+            H = self._H_const
+        elif self._param_const_hess:
+            H = prev.H          # evaluated once per solve in _initial_state
+        else:
+            H = nlp.lag_hess(p.x, y_eff, pdata)
+        if self._Jc_const is not None:
+            Jc = self._Jc_const
+        elif self._param_const_jac:
+            Jc = prev.Jc        # evaluated once per solve in _initial_state
+        else:
+            Jc = nlp.jac_orig(p.x, pdata)
         if self.kkt_type == "symmetric":
             Jcan = nlp.jac_canonical(Jc)
             K = jnp.block([[H, Jcan.T],
@@ -592,7 +627,7 @@ class OnePhaseKernel:
         # --- do_ls preconditions -------------------------------------
         # filter/stable (Class_filter_ls, filter_ls.jl:14-42):
         #   grad phi = grad_lag with y_tilde = mu/s
-        jt_mus = nlp.jtprod(p.x, p.mu / p.s)
+        jt_mus = nlp.jtprod(p.x, p.mu / p.s, st.pdata)
         grad_phi = cache.g - jt_mus + p.mu * pars.a_norm_penalty * cache.jt_ones
         gdx = jnp.dot(grad_phi, direction.x)
         do_ls_stb = gdx < 0.0
@@ -605,7 +640,7 @@ class OnePhaseKernel:
         gam = 1.0 - eta_probe
         r_P = cache.a - p.s
         y_tilde = (gam * p.mu - eta_probe * p.y * r_P) / p.s
-        jt_yt = nlp.jtprod(p.x, y_tilde)
+        jt_yt = nlp.jtprod(p.x, y_tilde, st.pdata)
         grad_lag_t = cache.g - jt_yt + p.mu * gam * pars.a_norm_penalty * cache.jt_ones
         do_ls_agg = jnp.dot(grad_lag_t, direction.x) < 0.0
 
@@ -625,7 +660,8 @@ class OnePhaseKernel:
             x_new = p.x + direction.x * alpha
             # --- move_primal (move.jl:2-22) --------------------------
             if nlp.m_orig > 0:
-                cons_new, pull = jax.vjp(nlp.c, x_new)
+                cons_new, pull = jax.vjp(
+                    lambda xx: nlp.c(xx, st.pdata), x_new)
             else:
                 cons_new = jnp.zeros((0,), dt)
                 pull = None
@@ -642,7 +678,7 @@ class OnePhaseKernel:
             dual_ok = lb < ub
 
             # --- move_dual (move.jl:81-133), dual_ls default 1 -------
-            g_new = nlp.grad_f(x_new)
+            g_new = nlp.grad_f(x_new, st.pdata)
 
             def jt(w):
                 wc, bnd = nlp.split_canonical(w)
@@ -652,7 +688,8 @@ class OnePhaseKernel:
 
             jt_y_old = jt(p.y)
             jt_dy = jt(direction.y)
-            jt_ones_new = nlp.jtprod_ones(x_new) if nlp.m_orig > 0 else nlp._bnd_ones
+            jt_ones_new = (nlp.jtprod_ones(x_new, st.pdata)
+                           if nlp.m_orig > 0 else nlp._bnd_ones)
             th = pars.a_norm_penalty
             dual_res = g_new - jt_y_old + mu_new * th * jt_ones_new
             comp_new_old_y = s_new * p.y - mu_new
@@ -688,7 +725,7 @@ class OnePhaseKernel:
 
             # --- candidate cache -------------------------------------
             jt_y_new = jt_y_old + alpha_D * jt_dy
-            fval_new = nlp.f(x_new)
+            fval_new = nlp.f(x_new, st.pdata)
             cand_c = Cache(fval=fval_new, cons=cons_new, a=a_new, g=g_new,
                            jt_y=jt_y_new, jt_ones=jt_ones_new)
             nan_any = nan_move | _isbad(g_new) | _isbad(fval_new)
@@ -914,9 +951,10 @@ class OnePhaseKernel:
 
         if first:
             # -- factor at current point -------------------------------
-            fact = self.form_factor(st.p, st.cache, st.fact)
+            fact = self.form_factor(st.p, st.cache, st.fact, st.pdata)
             success, nfac_inertia, new_delta, LD = self.ipopt_strategy(fact, st.delta)
-            fact = fact._replace(L=LD[0], D=LD[1], delta=new_delta, ok=success)
+            fact = fact._replace(L=self.finalize_solver(LD[0]), D=LD[1],
+                                 delta=new_delta, ok=success)
             old_delta = st.delta
             st = st._replace(fact=fact, delta=new_delta,
                              num_fac_inertia=nfac_inertia,
@@ -963,6 +1001,7 @@ class OnePhaseKernel:
                                                          old_delta * pars.delta.dec))
                         nd = jnp.where(can_escalate, nd, delta)
                         (Lc, Dc), okc = self.factor(st_c.fact.Q, nd)
+                        Lc = self.finalize_solver(Lc)
                         Lk = jax.tree_util.tree_map(
                             lambda new, old: jnp.where(okc, new, old),
                             Lc, st_c.fact.L)
@@ -995,7 +1034,7 @@ class OnePhaseKernel:
                         y_new = st_f.p.mu / st_f.p.s
                         p2 = st_f.p._replace(y=y_new)
                         c2 = st_f.cache._replace(
-                            jt_y=self.nlp.jtprod(p2.x, y_new))
+                            jt_y=self.nlp.jtprod(p2.x, y_new, st_f.pdata))
                         return st_f._replace(p=p2, cache=c2, step_ok=jnp.asarray(True))
 
                     def fail(st_f):
@@ -1077,11 +1116,20 @@ class OnePhaseKernel:
     # ==================================================================
     # initialization (reference: src/init/gertz_init.jl)
     # ==================================================================
-    def project_bounds(self, x0):
-        """Ipopt-style projection into bounds (primal-project.jl:1-68)."""
+    def project_bounds(self, x0, bvals=None):
+        """Ipopt-style projection into bounds (primal-project.jl:1-68).
+
+        With `bvals`, the per-instance bound values (scattered back over the
+        static finite-bound pattern) replace the template's."""
         nlp = self.nlp
-        lv = jnp.asarray(nlp.lvar, self.dtype)
-        uv = jnp.asarray(nlp.uvar, self.dtype)
+        if bvals is None:
+            lv = jnp.asarray(nlp.lvar, self.dtype)
+            uv = jnp.asarray(nlp.uvar, self.dtype)
+        else:
+            lv = jnp.full(self.n, -jnp.inf, self.dtype).at[
+                jnp.asarray(nlp.lvi)].set(bvals["lv"])
+            uv = jnp.full(self.n, jnp.inf, self.dtype).at[
+                jnp.asarray(nlp.uvi)].set(bvals["uv"])
         k1 = 1e-2
         k2 = 1e-2
         p_L = jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(lv)), k2 * (uv - lv))
@@ -1090,7 +1138,7 @@ class OnePhaseKernel:
         b_U = jnp.where(jnp.isfinite(uv), uv - p_U, jnp.inf)
         return jnp.clip(x0, b_L, b_U)
 
-    def _initial_state(self, x0, bvals=None) -> State:
+    def _initial_state(self, x0, bvals=None, pdata=None) -> State:
         nlp, pars = self.nlp, self.pars
         dt = self.dtype
         n, m = self.n, self.m
@@ -1099,12 +1147,15 @@ class OnePhaseKernel:
         x0 = jnp.asarray(x0, dt)
         if bvals is None:
             bvals = self.nlp.default_bvals()
-        x = self.project_bounds(x0) if pars.init.start_satisfying_bounds else x0
+        if pdata is None:
+            pdata = nlp._pdata0 if nlp.parametric else {}
+        x = (self.project_bounds(x0, bvals)
+             if pars.init.start_satisfying_bounds else x0)
 
         y0 = jnp.ones(m, dt)
-        cons = nlp.c(x)
+        cons = nlp.c(x, pdata)
         a = nlp.a_of(x, cons, bvals)
-        g = nlp.grad_f(x)
+        g = nlp.grad_f(x, pdata)
 
         s_thres = 1e-4
         d_s = jnp.maximum(s_thres, -2.0 * jnp.min(a))
@@ -1112,14 +1163,23 @@ class OnePhaseKernel:
         mu0 = d_s
 
         p0 = Point(x=x, y=y0, s=s0, mu=mu0, beta=jnp.asarray(1.0, dt))
-        cache0 = self.make_cache(x, y0, bvals)
+        cache0 = self.make_cache(x, y0, bvals, pdata)
 
         empty_fact = self._empty_factor()
+        if self._param_const_jac or self._param_const_hess:
+            # parametric constant structure: evaluate once per solve; the
+            # Factor carries these through all iterations (form_factor)
+            empty_fact = empty_fact._replace(
+                Jc=(nlp.jac_orig(x, pdata) if self._param_const_jac
+                    else empty_fact.Jc),
+                H=(nlp.lag_hess(x, jnp.zeros(m, dt), pdata)
+                   if self._param_const_hess else empty_fact.H))
         if pars.init.init_style == "gertz":
             # one full KKT cycle at the guarded start (gertz_init.jl:22-28)
-            fact = self.form_factor(p0, cache0, empty_fact)
+            fact = self.form_factor(p0, cache0, empty_fact, pdata)
             succ, nfac, delta0, LD = self.ipopt_strategy(fact, jnp.asarray(0.0, dt))
-            fact = fact._replace(L=LD[0], D=LD[1], delta=delta0, ok=succ)
+            fact = fact._replace(L=self.finalize_solver(LD[0]), D=LD[1],
+                                 delta=delta0, ok=succ)
             adir, _ = self.compute_direction(fact, p0, cache0, 0.0, 0.0, 0.0)
             y_t = y0 + adir.y
             s_t = -a
@@ -1128,19 +1188,20 @@ class OnePhaseKernel:
         elif pars.init.init_style == "mehrotra":
             # ridge least-squares dual estimate (estimate_y_tilde,
             # guess-vars.jl:128-169): (lam*I + J^T J) dx = -g, y = -J dx
-            Jc0 = nlp.jac_orig(x)
+            Jc0 = nlp.jac_orig(x, pdata)
             lam = 1e-4
             Hr = lam * jnp.eye(n, dtype=dt) + nlp.jtdj(
                 Jc0, jnp.ones(m, dt))
             Lr = jnp.linalg.cholesky(Hr)
-            dx0 = self.chol_solve(Lr, -g)
+            zr = jax.scipy.linalg.solve_triangular(Lr, -g, lower=True)
+            dx0 = jax.scipy.linalg.solve_triangular(Lr.T, zr, lower=False)
             y_t = -nlp.jprod_mat(Jc0, dx0)
             bad = _isbad(y_t)
             y_t = jnp.where(bad, jnp.ones(m, dt), y_t)
             s_t = a
-            fact = self.form_factor(p0, cache0, empty_fact)
+            fact = self.form_factor(p0, cache0, empty_fact, pdata)
             LD0, succ = self.factor(fact.Q, jnp.asarray(pars.delta.start, dt))
-            fact = fact._replace(L=LD0[0], D=LD0[1],
+            fact = fact._replace(L=self.finalize_solver(LD0[0]), D=LD0[1],
                                  delta=jnp.asarray(pars.delta.start, dt),
                                  ok=succ)
             nfac = jnp.asarray(1, jnp.int32)
@@ -1151,7 +1212,7 @@ class OnePhaseKernel:
         else:
             min_s_cons = jnp.asarray(0.0, dt)
         d_s2 = (jnp.maximum(-2.0 * min_s_cons, 0.0)
-                + _norm_inf(g - nlp.jtprod(x, y_t)) / (1.0 + _norm_inf(y_t)))
+                + _norm_inf(g - nlp.jtprod(x, y_t, pdata)) / (1.0 + _norm_inf(y_t)))
         d_y = jnp.maximum(-2.0 * jnp.min(y_t), 0.0)
         if mc > 0:
             s_t = s_t.at[:mc].add(d_s2 + 1e-8)
@@ -1189,7 +1250,7 @@ class OnePhaseKernel:
         y = jnp.minimum(y_c / cfa, jnp.maximum(y_t, cfa * y_c))
 
         p = Point(x=x, y=y, s=s, mu=mu, beta=jnp.asarray(1.0, dt))
-        cache = self.make_cache(x, y, bvals)
+        cache = self.make_cache(x, y, bvals, pdata)
         r0 = cache.a - s
 
         filt = Filter(merit=jnp.full(self.filt_cap, jnp.inf, dt),
@@ -1214,7 +1275,7 @@ class OnePhaseKernel:
                    agg_mask=jnp.asarray(False),
                    num_fac_inertia=jnp.asarray(0, jnp.int32),
                    tot_num_fac=jnp.asarray(0, jnp.int32),
-                   cum_fac=nfac, bvals=bvals)
+                   cum_fac=nfac, bvals=bvals, pdata=pdata)
         # init factorization failure -> MAX_DELTA (reference errors out)
         st = st._replace(status=jnp.where(succ, RUNNING, MAX_DELTA).astype(jnp.int32))
         # termination check at the starting point (one_phase.jl:152-166)

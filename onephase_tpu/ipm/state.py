@@ -148,3 +148,6 @@ class State(NamedTuple):
     cum_fac: jnp.ndarray       # int32, total factorizations this solve
     bvals: dict                # bound VALUES {l,u,lv,uv} (traced; enables
                                # batching over bound data, nlp.a_of)
+    pdata: dict                # parametric problem data pytree (traced;
+                               # enables batching over instance data — {} for
+                               # non-parametric problems, see nlp.NLPSpec)

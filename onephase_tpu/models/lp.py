@@ -22,6 +22,38 @@ from ..nlp import NLPSpec
 INF = np.inf
 
 
+@dataclass
+class LPData:
+    """Raw dense LP: min c^T x + c0 s.t. lcon <= A x <= ucon, lvar<=x<=uvar.
+
+    The data form (rather than an NLPSpec closure) is what the shape-bucketed
+    batch driver (parallel/buckets.py) consumes: per-instance (A, c, bounds)
+    ride as parametric pdata/bvals under one compiled solver.
+    """
+
+    cvec: np.ndarray
+    A: np.ndarray
+    lcon: np.ndarray
+    ucon: np.ndarray
+    lvar: np.ndarray
+    uvar: np.ndarray
+    x0: Optional[np.ndarray] = None
+    name: str = "lp"
+    c0: float = 0.0
+
+    @property
+    def n(self):
+        return self.A.shape[1]
+
+    @property
+    def m(self):
+        return self.A.shape[0]
+
+    def to_spec(self) -> NLPSpec:
+        return lp_spec(self.cvec, self.A, self.lcon, self.ucon, self.lvar,
+                       self.uvar, self.x0, name=self.name, c0=self.c0)
+
+
 def lp_spec(cvec, A, lcon, ucon, lvar=None, uvar=None, x0=None,
             name="lp", c0: float = 0.0) -> NLPSpec:
     """min c^T x + c0  s.t. lcon <= A x <= ucon, lvar <= x <= uvar."""
@@ -57,6 +89,10 @@ def perturb_infeasible(spec: NLPSpec, scale: float = 1.0) -> NLPSpec:
 # MPS reader (fixed + free format tolerant) — enough for the Netlib sets.
 # ---------------------------------------------------------------------------
 def read_mps(path: str, name: Optional[str] = None) -> NLPSpec:
+    return read_mps_data(path, name).to_spec()
+
+
+def read_mps_data(path: str, name: Optional[str] = None) -> LPData:
     op = gzip.open if str(path).endswith(".gz") else open
     with op(path, "rt") as fh:
         lines = fh.readlines()
@@ -180,4 +216,5 @@ def read_mps(path: str, name: Optional[str] = None) -> NLPSpec:
                 uvar[j] = up[cn]
 
     c0 = -rhs.get(obj_row, 0.0)  # objective-row RHS is a constant offset
-    return lp_spec(cvec, A, lcon, ucon, lvar, uvar, name=prob_name, c0=c0)
+    return LPData(cvec=cvec, A=A, lcon=lcon, ucon=ucon, lvar=lvar, uvar=uvar,
+                  name=prob_name, c0=c0)

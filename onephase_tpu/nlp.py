@@ -58,6 +58,15 @@ class NLPSpec:
     # The kernel then evaluates them once instead of per outer iteration.
     constant_jac: bool = False
     constant_hess: bool = False
+    # --- parametric problem data (TPU-first capability, no reference
+    # counterpart): when `pdata` is set, `f` and `c` are called as
+    # f(x, pdata) / c(x, pdata) with pdata a pytree of arrays.  A batch of
+    # same-structure instances differing only in data (e.g. a shape-bucketed
+    # Netlib directory: per-instance A, c, bounds) then shares ONE compiled
+    # solver, with pdata vmapped alongside the state.  Optional `jac`
+    # ((x, pdata) -> (m_orig, n)) bypasses AD for data-given Jacobians.
+    pdata: Optional[dict] = None
+    jac: Optional[Callable] = None
 
     def __post_init__(self):
         self.x0 = np.asarray(self.x0, dtype=np.float64)
@@ -168,6 +177,23 @@ class CanonNLP:
 
         self._f_raw = spec.f
         self._c_raw = spec.c
+        self._jac_raw = spec.jac
+
+        # parametric problem data: template copy on device; per-instance
+        # overrides flow in through the `pdata` oracle argument (threaded
+        # from State.pdata by the kernel)
+        self.parametric = spec.pdata is not None
+        if self.parametric:
+            self._pdata0 = jax.tree_util.tree_map(
+                lambda v: (jnp.asarray(v, dtype)
+                           if np.issubdtype(np.asarray(v).dtype, np.floating)
+                           else jnp.asarray(v)),
+                spec.pdata)
+        else:
+            self._pdata0 = None
+
+    def _pd(self, pdata):
+        return self._pdata0 if pdata is None else pdata
 
     # ------------------------------------------------------------------
     # full-variable reconstruction (reference _cute_x)
@@ -179,19 +205,23 @@ class CanonNLP:
 
     # ------------------------------------------------------------------
     # raw oracles in reduced space
-    def f(self, x):
+    def f(self, x, pdata=None):
         """Objective (reference eval_f, Class_cutest.jl:310)."""
-        return jnp.asarray(self._f_raw(self._full_x(x)), self.dtype)
+        xf = self._full_x(x)
+        v = self._f_raw(xf, self._pd(pdata)) if self.parametric else self._f_raw(xf)
+        return jnp.asarray(v, self.dtype)
 
-    def c(self, x):
+    def c(self, x, pdata=None):
         """Original constraint body c(x) -> (m_orig,)."""
         if self._c_raw is None:
             return jnp.zeros((0,), self.dtype)
-        return jnp.asarray(self._c_raw(self._full_x(x)), self.dtype).reshape(self.m_orig)
+        xf = self._full_x(x)
+        v = self._c_raw(xf, self._pd(pdata)) if self.parametric else self._c_raw(xf)
+        return jnp.asarray(v, self.dtype).reshape(self.m_orig)
 
-    def grad_f(self, x):
+    def grad_f(self, x, pdata=None):
         """Objective gradient (reference eval_grad_f, Class_cutest.jl:505)."""
-        return jax.grad(self.f)(x)
+        return jax.grad(lambda xx: self.f(xx, pdata))(x)
 
     # ------------------------------------------------------------------
     # canonical constraint vector a(x) >= 0 (reference eval_a, :385-420)
@@ -212,11 +242,11 @@ class CanonNLP:
         return {"l": j["l"] - shift, "u": j["u"] - shift,
                 "lv": j["lv"], "uv": j["uv"]}
 
-    def a_of(self, x, cvals=None, bvals=None):
+    def a_of(self, x, cvals=None, bvals=None, pdata=None):
         b = bvals if bvals is not None else self._j
         j = self._j
         if cvals is None:
-            cvals = self.c(x)
+            cvals = self.c(x, pdata)
         return jnp.concatenate([
             cvals[j["li"]] - b["l"],
             b["u"] - cvals[j["ui"]],
@@ -231,10 +261,10 @@ class CanonNLP:
             jc_v[j["li"]], -jc_v[j["ui"]], v[j["lvi"]], -v[j["uvi"]],
         ])
 
-    def jprod(self, x, v):
+    def jprod(self, x, v, pdata=None):
         """Canonical J(x) @ v via one JVP on c."""
         if self.m_orig > 0:
-            _, jc_v = jax.jvp(self.c, (x,), (v,))
+            _, jc_v = jax.jvp(lambda xx: self.c(xx, pdata), (x,), (v,))
         else:
             jc_v = jnp.zeros((0,), self.dtype)
         return self.jprod_from(jc_v, v)
@@ -267,20 +297,20 @@ class CanonNLP:
         bnd = bnd.at[j["uvi"]].add(d[nl + nu + nbl:])
         return wc, bnd
 
-    def jtprod(self, x, w):
+    def jtprod(self, x, w, pdata=None):
         """Canonical J(x)^T @ w via one VJP on c (reference eval_jac_T_prod)."""
         wc, bnd = self.split_canonical(w)
         if self.m_orig > 0:
-            _, pull = jax.vjp(self.c, x)
+            _, pull = jax.vjp(lambda xx: self.c(xx, pdata), x)
             out = pull(wc)[0]
         else:
             out = jnp.zeros((self.n,), self.dtype)
         return out + bnd
 
-    def jtprod_ones(self, x):
+    def jtprod_ones(self, x, pdata=None):
         """Canonical J(x)^T @ 1 (regularizer gradient, reference eval_grad_r)."""
         if self.m_orig > 0:
-            _, pull = jax.vjp(self.c, x)
+            _, pull = jax.vjp(lambda xx: self.c(xx, pdata), x)
             out = pull(self._wc_ones)[0]
         else:
             out = jnp.zeros((self.n,), self.dtype)
@@ -288,13 +318,23 @@ class CanonNLP:
 
     # ------------------------------------------------------------------
     # materialized original Jacobian (per outer iteration; reference eval_jac)
-    def jac_orig(self, x):
+    def jac_orig(self, x, pdata=None):
         if self.m_orig == 0:
             return jnp.zeros((0, self.n), self.dtype)
+        if self._jac_raw is not None:
+            # user-supplied Jacobian oracle (full-variable space)
+            pd = self._pd(pdata)
+            Jf = jnp.asarray(
+                self._jac_raw(self._full_x(x), pd) if self.parametric
+                else self._jac_raw(self._full_x(x)), self.dtype)
+            if self.n != self.n_full:
+                Jf = Jf[:, jnp.asarray(self.free_idx)]
+            return Jf
         # forward mode costs n passes, reverse costs m_orig: pick the cheaper
+        cfun = lambda xx: self.c(xx, pdata)  # noqa: E731
         if self.m_orig < self.n:
-            return jax.jacrev(self.c)(x)
-        return jax.jacfwd(self.c)(x)
+            return jax.jacrev(cfun)(x)
+        return jax.jacfwd(cfun)(x)
 
     # canonical products through a materialized Jc
     def jprod_mat(self, Jc, v):
@@ -348,25 +388,25 @@ class CanonNLP:
     # Lagrangian Hessian of f(x) - y^T a(x), materialized (n,n) symmetric
     # (reference eval_lag_hess, Class_cutest.jl:541-581; bound rows are
     # linear so only original-constraint duals enter.)
-    def lag_hess(self, x, y):
+    def lag_hess(self, x, y, pdata=None):
         wc, _ = self.split_canonical(y)
 
         def lag(xx):
-            val = self.f(xx)
+            val = self.f(xx, pdata)
             if self.m_orig > 0:
-                val = val - jnp.dot(wc, self.c(xx))
+                val = val - jnp.dot(wc, self.c(xx, pdata))
             return val
 
         return jax.hessian(lag)(x)
 
-    def hess_prod_fn(self, x, y):
+    def hess_prod_fn(self, x, y, pdata=None):
         """Returns v -> H v (Hessian-vector product at fixed (x, y))."""
         wc, _ = self.split_canonical(y)
 
         def lag(xx):
-            val = self.f(xx)
+            val = self.f(xx, pdata)
             if self.m_orig > 0:
-                val = val - jnp.dot(wc, self.c(xx))
+                val = val - jnp.dot(wc, self.c(xx, pdata))
             return val
 
         g = jax.grad(lag)

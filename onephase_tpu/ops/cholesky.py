@@ -1,15 +1,30 @@
-"""Pallas VMEM-resident Cholesky with inertia flag.
+"""Blocked Pallas Cholesky + explicit-inverse solve operator.
 
 The factorization is 35% of the reference's runtime (1.9 factorizations per
-outer iteration, docs/one-phase.tex:901-912).  XLA:TPU's `jnp.linalg.cholesky`
-is very slow for the batched small-to-medium systems the batched IPM
-produces; this kernel keeps the whole matrix in VMEM and runs the
-right-looking factorization as one fused kernel — no HBM traffic between
-panels, inertia (pivot-positivity) computed in-pass.
+outer iteration, docs/one-phase.tex:901-912), and each factorization feeds
+~10 backsolves (docs/one-phase.tex:908).  On TPU both ops are redesigned
+around the MXU rather than translated:
 
-Single-instance kernel; batching comes from `jax.vmap` (Pallas's batching
-rule turns the batch axis into an extra grid dimension), which is exactly
-how the solver core calls `factor` under the batched/sharded drivers.
+- `pallas_chol` — right-looking *blocked* Cholesky, whole matrix VMEM-
+  resident, 128x128 diagonal blocks factored by a masked fori_loop and the
+  panel/trailing updates done as MXU matmuls.  All block loops are Python-
+  unrolled (static shapes).  Inertia = pivot positivity, computed in-pass
+  (reference: julia.jl:28-46 — Cholesky success == correct inertia).
+- `pallas_tri_inv_gram` — M = L^-T L^-1 by blocked forward substitution on
+  the identity (the diagonal-block inverses + nb^3/6 MXU matmuls) followed
+  by one Gram matmul.  Every subsequent backsolve `x = M @ b` is then a
+  single MXU matvec: no latency-bound triangular solves anywhere in the
+  solve path.  The IPM's fixed-count iterative refinement
+  (ipm/core.refine_solve) restores the digits explicit inversion loses, and
+  the a-posteriori KKT-error-ratio monitor guards it.
+
+An earlier single-shot (unblocked, whole-matrix fori_loop) kernel OOMed
+Mosaic's scoped VMEM at n>=256 on v5e; keeping loop-carried temporaries at
+(128,128) and doing everything else as matmuls is the fix and the speedup.
+
+Single-instance kernels; batching comes from `jax.vmap` (the batch axis
+becomes an outer grid dimension), which is how the batched/sharded solver
+drivers call them.
 """
 
 from __future__ import annotations
@@ -18,113 +33,215 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+BS = 128  # block size: MXU-aligned
 
-def _chol_kernel(a_ref, l_ref, ok_ref):
-    n = a_ref.shape[0]
-    A0 = a_ref[:]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _unblocked_chol(A0, ok0):
+    """Masked in-register Cholesky of a (bs, bs) tile; returns (L, ok).
+
+    Every loop intermediate is kept 2-D ((bs,1)/(1,bs)/(bs,bs)) — Mosaic's
+    layout inference rejects 1-D vectors carried across masked selects.
+    """
+    bs = A0.shape[0]
+    dt = A0.dtype
+    rcol = lax.broadcasted_iota(jnp.int32, (bs, 1), 0)   # row ids, column vec
+    crow = lax.broadcasted_iota(jnp.int32, (1, bs), 1)   # col ids, row vec
+    row = lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    col = lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    tiny = jnp.asarray(1e-38 if dt == jnp.float32 else 1e-300, dt)
 
     def body(j, carry):
         A, ok = carry
-        pivot = jnp.sum(jnp.where((idx == j)[:, None] * (idx == j)[None, :],
-                                  A, 0.0))
+        pivot = jnp.sum(jnp.where((row == j) & (col == j), A, 0.0))
         ok = ok & (pivot > 0.0) & jnp.isfinite(pivot)
-        d = jnp.sqrt(jnp.maximum(pivot, 1e-45))
-        colj = jnp.sum(jnp.where((idx == j)[None, :], A, 0.0), axis=1)
-        Lcol = jnp.where(idx >= j, colj / d, 0.0)
-        below = jnp.where(idx > j, Lcol, 0.0)
-        A = A - below[:, None] * below[None, :]
-        # write column j of L in place (the trailing update never touches it)
-        A = jnp.where((idx == j)[None, :], Lcol[:, None], A)
+        dinv = lax.rsqrt(jnp.maximum(pivot, tiny))
+        colj = jnp.sum(jnp.where(col == j, A, 0.0), axis=1, keepdims=True)
+        Lcol = jnp.where(rcol >= j, colj * dinv, 0.0)        # (bs, 1)
+        below = jnp.where(rcol > j, Lcol, 0.0)               # (bs, 1)
+        A = A - below * below.reshape(1, bs)
+        A = jnp.where(col == j, Lcol, A)
         return A, ok
 
-    A, ok = jax.lax.fori_loop(0, n, body, (A0, jnp.asarray(True)))
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    l_ref[:] = jnp.where(row >= col, A, 0.0)
+    A, ok = lax.fori_loop(0, bs, body, (A0, ok0))
+    return jnp.where(row >= col, A, 0.0), ok
+
+
+def _tri_inv_unblocked(L):
+    """Inverse of a (bs, bs) lower-triangular tile by row-sweep forward
+    substitution on the identity.  All intermediates 2-D (see above)."""
+    bs = L.shape[0]
+    dt = L.dtype
+    crow = lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+    row = lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    col = lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+
+    def body(j, Inv):
+        lrow = jnp.sum(jnp.where(row == j, L, 0.0), axis=0, keepdims=True)
+        lrow = jnp.where(crow < j, lrow, 0.0)                # (1, bs)
+        contrib = jnp.dot(lrow, Inv, preferred_element_type=dt)  # (1, bs)
+        ej = jnp.where(crow == j, 1.0, 0.0).astype(dt)
+        dj = jnp.sum(jnp.where((row == j) & (col == j), L, 0.0))
+        newrow = (ej - contrib) / dj                         # (1, bs)
+        return jnp.where(row == j, newrow, Inv)
+
+    return lax.fori_loop(0, bs, body, jnp.zeros_like(L))
+
+
+def _chol_kernel(a_ref, l_ref, d_ref, ok_ref):
+    """Blocked right-looking Cholesky; l_ref doubles as workspace."""
+    n = a_ref.shape[0]
+    bs = min(BS, n)
+    nb = n // bs
+    dt = a_ref.dtype
+    l_ref[:] = a_ref[:]
+    ok = jnp.asarray(True)
+
+    for kb in range(nb):
+        o = kb * bs
+        Lkk, ok = _unblocked_chol(l_ref[o:o + bs, o:o + bs], ok)
+        l_ref[o:o + bs, o:o + bs] = Lkk
+        ridx = lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+        cidx = lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+        d_ref[0:1, o:o + bs] = jnp.sum(jnp.where(ridx == cidx, Lkk, 0.0),
+                                       axis=0, keepdims=True)
+        if kb < nb - 1:
+            Ikk = _tri_inv_unblocked(Lkk)
+            L21 = jnp.dot(l_ref[o + bs:, o:o + bs], Ikk.T,
+                          preferred_element_type=dt)
+            l_ref[o + bs:, o:o + bs] = L21
+            l_ref[o + bs:, o + bs:] -= jnp.dot(L21, L21.T,
+                                               preferred_element_type=dt)
+
+    # zero the (junk) strict upper triangle so downstream matmuls see L
+    row = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    l_ref[:] = jnp.where(row >= col, l_ref[:], 0.0)
     ok_ref[0, 0] = ok.astype(jnp.int32)
 
 
-def _chol_solve_kernel(l_ref, b_ref, x_ref):
-    """Fused forward+backward substitution: solve L L^T x = b in one
-    kernel launch (two latency-bound XLA trisolves become one VMEM pass).
-
-    b/x are carried as (1, n) rows and every intermediate stays 2-D: Mosaic's
-    layout inference rejects 1-D loop carries, and a (1, n) row block stays
-    lowerable when `jax.vmap` adds a leading (squeezed) batch grid dim."""
+def _tri_inv_gram_kernel(l_ref, m_ref, li_ref):
+    """M = L^-T L^-1 via blocked forward substitution + one Gram matmul."""
     n = l_ref.shape[0]
-    L = l_ref[:]
-    LT = L.T  # one relayout so the forward sweep reads columns of L as rows
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    dinv = 1.0 / jnp.sum(jnp.where(row == col, L, 0.0), axis=0, keepdims=True)
+    bs = min(BS, n)
+    nb = n // bs
+    dt = l_ref.dtype
 
-    # forward: column-sweep on y = L^{-1} b
-    def fwd(j, y):
-        yj = jnp.sum(jnp.where(idx == j, y * dinv, 0.0))
-        colj = jnp.sum(jnp.where(row == j, LT, 0.0), axis=0, keepdims=True)
-        upd = jnp.where(idx > j, colj * yj, 0.0)
-        return jnp.where(idx == j, yj, y - upd)
+    for i in range(nb):
+        o = i * bs
+        li_ref[o:o + bs, o:o + bs] = _tri_inv_unblocked(l_ref[o:o + bs, o:o + bs])
+        for j in range(i):
+            oj = j * bs
+            acc = jnp.zeros((bs, bs), dt)
+            for k in range(j, i):
+                ok_ = k * bs
+                acc += jnp.dot(l_ref[o:o + bs, ok_:ok_ + bs],
+                               li_ref[ok_:ok_ + bs, oj:oj + bs],
+                               preferred_element_type=dt)
+            li_ref[o:o + bs, oj:oj + bs] = -jnp.dot(
+                li_ref[o:o + bs, o:o + bs], acc, preferred_element_type=dt)
+        # zero upper blocks of this row band (li_ref scratch is uninitialized)
+        for j in range(i + 1, nb):
+            li_ref[o:o + bs, j * bs:(j + 1) * bs] = jnp.zeros((bs, bs), dt)
 
-    y = jax.lax.fori_loop(0, n, fwd, b_ref[:])
-
-    # backward: column-sweep on x = L^{-T} y (rows of L = columns of L^T)
-    def bwd(jj, x):
-        j = n - 1 - jj
-        xj = jnp.sum(jnp.where(idx == j, x * dinv, 0.0))
-        rowj = jnp.sum(jnp.where(row == j, L, 0.0), axis=0, keepdims=True)
-        upd = jnp.where(idx < j, rowj * xj, 0.0)
-        return jnp.where(idx == j, xj, x - upd)
-
-    x_ref[:] = jax.lax.fori_loop(0, n, bwd, y)
+    Li = li_ref[:]
+    m_ref[:] = jnp.dot(Li.T, Li, preferred_element_type=dt)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_chol_solve(L, b, interpret: bool = None):
-    """x = (L L^T)^{-1} b with both substitutions fused in one kernel."""
-    if interpret is None:
-        from . import INTERPRET
-        interpret = INTERPRET
-    n = L.shape[-1]
-    x = pl.pallas_call(
-        _chol_solve_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, n), L.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * n, transcendentals=0,
-            bytes_accessed=(n * n + 2 * n) * L.dtype.itemsize),
-    )(L, b.reshape(1, n))
-    return x[0]
+def _pad_spd(Q, n_p):
+    """Pad Q to (n_p, n_p) with an identity block (block-diagonal, so the
+    leading principal inverse is unchanged)."""
+    n = Q.shape[-1]
+    if n == n_p:
+        return Q
+    out = jnp.zeros((n_p, n_p), Q.dtype)
+    out = out.at[:n, :n].set(Q)
+    idx = jnp.arange(n, n_p)
+    return out.at[idx, idx].set(1.0)
+
+
+def _block_size(n):
+    return BS if n >= BS else _round_up(n, 8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_chol(Q, interpret: bool = None):
-    """Returns (L, ok): lower Cholesky factor of Q and pivot-positivity.
+    """Blocked Cholesky. Returns (L, d, ok): lower factor (padded region
+    stripped), its diagonal, and the pivot-positivity flag.
 
-    On failure (non-PD) L is garbage and ok is False — callers follow the
-    same protocol as `jnp.linalg.cholesky` + finite check.
+    On failure (non-PD input) L is garbage and ok is False — same protocol
+    as `jnp.linalg.cholesky` + finite check (reference julia.jl:28-46).
     """
     if interpret is None:
         from . import INTERPRET
         interpret = INTERPRET
     n = Q.shape[-1]
-    L, ok = pl.pallas_call(
+    bs = _block_size(n)
+    n_p = _round_up(n, bs)
+    Qp = _pad_spd(Q, n_p)
+    L, d, ok = pl.pallas_call(
         _chol_kernel,
-        out_shape=(jax.ShapeDtypeStruct((n, n), Q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((n_p, n_p), Q.dtype),
+                   jax.ShapeDtypeStruct((1, n_p), Q.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n * n * n // 3, transcendentals=n,
-            bytes_accessed=2 * n * n * Q.dtype.itemsize),
-    )(Q)
-    return L, ok[0, 0] > 0
+            flops=n_p ** 3 // 3, transcendentals=n_p,
+            bytes_accessed=2 * n_p * n_p * Q.dtype.itemsize),
+    )(Qp)
+    return L[:n, :n], d[0, :n], ok[0, 0] > 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_tri_inv_gram(L, interpret: bool = None):
+    """M = (L L^T)^-1 = L^-T L^-1 for a lower-triangular L."""
+    if interpret is None:
+        from . import INTERPRET
+        interpret = INTERPRET
+    n = L.shape[-1]
+    bs = _block_size(n)
+    n_p = _round_up(n, bs)
+    if n_p != n:
+        Lp = jnp.zeros((n_p, n_p), L.dtype).at[:n, :n].set(L)
+        idx = jnp.arange(n, n_p)
+        Lp = Lp.at[idx, idx].set(1.0)
+    else:
+        Lp = L
+    M = pl.pallas_call(
+        _tri_inv_gram_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_p, n_p), L.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_p, n_p), L.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_p ** 3 // 3 + 2 * n_p ** 3, transcendentals=0,
+            bytes_accessed=3 * n_p * n_p * L.dtype.itemsize),
+    )(Lp)
+    return M[:n, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_chol_inv(Q, interpret: bool = None):
+    """(M, d, ok): explicit inverse of SPD Q plus Cholesky pivot info."""
+    L, d, ok = pallas_chol(Q, interpret=interpret)
+    return pallas_tri_inv_gram(L, interpret=interpret), d, ok
+
+
+def xla_chol_inv_from_L(L):
+    """XLA fallback for the finalize step: M = L^-T L^-1 via one
+    triangular solve against the identity + a Gram matmul."""
+    Li = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(L.shape[-1], dtype=L.dtype), lower=True)
+    return Li.T @ Li

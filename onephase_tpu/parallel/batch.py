@@ -40,24 +40,33 @@ class BatchSolver:
         self._init_batch_bvals = jax.jit(jax.vmap(self.kernel._initial_state))
         self._run_batch = jax.jit(jax.vmap(self.kernel._run_chunk))
 
-    def init(self, x0s, bvals=None) -> State:
+    def init(self, x0s, bvals=None, pdata=None) -> State:
         """x0s: (B, n) starting points -> batched State.
 
         `bvals` optionally batches the bound VALUES (dict of (B, ...) arrays
         from nlp.default_bvals / nlp.shifted_bvals): instances may differ in
         constraint-range data while sharing one compiled solver — the
         on-device analogue of the reference's perturbed-problem campaigns.
+
+        `pdata` optionally batches the full parametric problem data (see
+        nlp.NLPSpec.pdata): per-instance constraint matrices / objective
+        coefficients — one compiled solver over a shape-bucketed sweep.
         """
         x0s = jnp.asarray(x0s, self.kernel.dtype)
-        if bvals is None:
+        if bvals is None and pdata is None:
             return self._init_batch(x0s)
-        return self._init_batch_bvals(x0s, bvals)
+        if bvals is None:
+            bvals = jax.vmap(lambda _: self.kernel.nlp.default_bvals())(x0s)
+        if pdata is None:
+            return self._init_batch_bvals(x0s, bvals)
+        return self._init_batch_bvals(x0s, bvals, pdata)
 
     def run_chunk(self, st: State) -> State:
         return self._run_batch(st)
 
-    def solve(self, x0s, bvals=None, max_chunks: int = 10_000) -> State:
-        st = self.init(x0s, bvals)
+    def solve(self, x0s, bvals=None, pdata=None,
+              max_chunks: int = 10_000) -> State:
+        st = self.init(x0s, bvals, pdata)
         for _ in range(max_chunks):
             if not bool(jnp.any(st.status == RUNNING)):
                 break

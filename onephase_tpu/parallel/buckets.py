@@ -1,0 +1,196 @@
+"""Shape-class bucketing: a heterogeneous LP sweep as a few padded batches.
+
+TPU-first capability with no counterpart in the reference (SURVEY.md §2.4):
+the reference runs its Netlib/CUTEst campaigns as one process per problem
+(SLURM arrays, benchmark/CUTEst/*.sbatch).  Here a directory of LPs with
+different shapes is solved as a handful of vmapped batches:
+
+1. eliminate fixed variables per instance (the reference's `_i_not_fixed`
+   canonicalization step, Class_cutest.jl:37-48, done on the data here),
+2. pad every instance to a shape-class (n, m rounded up) with neutral
+   variables/rows and all-finite bounds (missing bound sides -> +-BIG),
+   so the canonical row PATTERN is identical across a bucket,
+3. per-instance (A, c, c0) become parametric pdata and per-instance bound
+   values become bvals — one compiled solver per bucket (nlp.NLPSpec.pdata),
+4. run each bucket through `BatchSolver` with masked per-instance
+   termination, and de-pad the results.
+
+Padding is exact: pad variables have zero objective and zero matrix columns
+(bounds [-1, 1]), pad rows are 0^T x in [-1, 1]; the +-BIG bound rows are
+never active for problems whose solutions are < BIG in norm.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from ..models.lp import LPData
+from ..nlp import NLPSpec, canonicalize
+from ..ipm.state import STATUS_NAMES
+from .batch import BatchSolver
+
+BIG = 1e8
+
+
+def _round_up(x, m):
+    return int(-(-x // m) * m)
+
+
+@dataclass
+class _Instance:
+    """Bookkeeping for one problem inside a bucket."""
+
+    name: str
+    n_true: int            # free (post-elimination) variable count
+    x_fixed: np.ndarray    # full-variable template with fixed values
+    free_idx: np.ndarray
+    c0: float
+
+
+@dataclass
+class BucketResult:
+    status: str
+    obj: float
+    x: np.ndarray          # full-variable primal solution
+    iterations: int
+    max_violation: float
+    name: str = ""
+
+
+def eliminate_fixed(d: LPData, tol: float = 0.0) -> Tuple[LPData, np.ndarray, np.ndarray]:
+    """Fold variables with lvar == uvar into the constraint bounds / offset.
+
+    Returns (reduced LPData, full template x with fixed values, free idx).
+    """
+    fixed = d.lvar == d.uvar
+    if not fixed.any():
+        return d, np.array(d.lvar, dtype=float) * 0.0, np.arange(d.n)
+    free = ~fixed
+    xf = np.zeros(d.n)
+    xf[fixed] = d.lvar[fixed]
+    shift = d.A[:, fixed] @ d.lvar[fixed]
+    red = LPData(
+        cvec=d.cvec[free], A=d.A[:, free],
+        lcon=d.lcon - shift, ucon=d.ucon - shift,
+        lvar=d.lvar[free], uvar=d.uvar[free],
+        x0=None if d.x0 is None else d.x0[free],
+        name=d.name, c0=d.c0 + float(d.cvec[fixed] @ d.lvar[fixed]))
+    return red, xf, np.nonzero(free)[0]
+
+
+def _finite(lo, hi):
+    lo = np.where(np.isfinite(lo), lo, -BIG)
+    hi = np.where(np.isfinite(hi), hi, BIG)
+    return lo, hi
+
+
+def pad_lp(d: LPData, n_pad: int, m_pad: int) -> LPData:
+    """Pad to (n_pad vars, m_pad rows) with neutral data; all bounds finite."""
+    n, m = d.n, d.m
+    A = np.zeros((m_pad, n_pad))
+    A[:m, :n] = d.A
+    cvec = np.zeros(n_pad)
+    cvec[:n] = d.cvec
+    lcon = np.full(m_pad, -1.0)
+    ucon = np.full(m_pad, 1.0)
+    lcon[:m], ucon[:m] = _finite(d.lcon, d.ucon)
+    lvar = np.full(n_pad, -1.0)
+    uvar = np.full(n_pad, 1.0)
+    lvar[:n], uvar[:n] = _finite(d.lvar, d.uvar)
+    x0 = np.zeros(n_pad)
+    if d.x0 is not None:
+        x0[:n] = d.x0
+    return LPData(cvec=cvec, A=A, lcon=lcon, ucon=ucon, lvar=lvar, uvar=uvar,
+                  x0=x0, name=d.name, c0=d.c0)
+
+
+def bucket_template(n_pad: int, m_pad: int) -> NLPSpec:
+    """Parametric LP template for one shape class.
+
+    All bounds finite (values are per-instance bvals; the [-1, 1] template
+    values only fix the static canonical row pattern), data in pdata.
+    """
+    pdata = {"A": np.zeros((m_pad, n_pad)), "c": np.zeros(n_pad),
+             "c0": np.zeros(())}
+    return NLPSpec(
+        f=lambda x, pd: jnp.dot(pd["c"], x) + pd["c0"],
+        c=lambda x, pd: pd["A"] @ x,
+        jac=lambda x, pd: pd["A"],
+        lcon=np.full(m_pad, -1.0), ucon=np.full(m_pad, 1.0),
+        lvar=np.full(n_pad, -1.0), uvar=np.full(n_pad, 1.0),
+        x0=np.zeros(n_pad), lin=tuple(range(m_pad)),
+        name=f"lp_bucket_{n_pad}x{m_pad}",
+        constant_jac=True, constant_hess=True, pdata=pdata)
+
+
+def bucket_shapes(datas: Sequence[LPData], round_to: int = 64) -> Dict[Tuple[int, int], List[int]]:
+    """Group instance indices by padded shape class."""
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, d in enumerate(datas):
+        fixed = d.lvar == d.uvar
+        n_eff = int((~fixed).sum())
+        key = (_round_up(max(n_eff, 1), round_to), _round_up(max(d.m, 1), round_to))
+        buckets.setdefault(key, []).append(i)
+    return buckets
+
+
+def solve_bucketed(problems: Dict[str, LPData],
+                   pars: Optional[Params] = None,
+                   round_to: int = 64,
+                   max_batch: int = 256,
+                   dtype=None) -> Dict[str, BucketResult]:
+    """Solve a heterogeneous dict of LPs as shape-bucketed vmapped batches."""
+    pars = pars or Params()
+    names = list(problems.keys())
+    raw = [problems[k] for k in names]
+
+    reduced, insts = [], []
+    for name, d in zip(names, raw):
+        red, xf, free = eliminate_fixed(d)
+        reduced.append(red)
+        insts.append(_Instance(name=name, n_true=red.n, x_fixed=xf,
+                               free_idx=free, c0=red.c0))
+
+    out: Dict[str, BucketResult] = {}
+    for (n_pad, m_pad), idxs in bucket_shapes(reduced, round_to).items():
+        spec = bucket_template(n_pad, m_pad)
+        nlp = canonicalize(spec, dtype=dtype)
+        solver = BatchSolver(nlp, pars)
+        for lo in range(0, len(idxs), max_batch):
+            chunk = idxs[lo:lo + max_batch]
+            padded = [pad_lp(reduced[i], n_pad, m_pad) for i in chunk]
+            pdata = {
+                "A": jnp.asarray(np.stack([p.A for p in padded]), nlp.dtype),
+                "c": jnp.asarray(np.stack([p.cvec for p in padded]), nlp.dtype),
+                "c0": jnp.asarray(np.array([p.c0 for p in padded]), nlp.dtype),
+            }
+            bvals = {
+                "l": jnp.asarray(np.stack([p.lcon for p in padded]), nlp.dtype),
+                "u": jnp.asarray(np.stack([p.ucon for p in padded]), nlp.dtype),
+                "lv": jnp.asarray(np.stack([p.lvar for p in padded]), nlp.dtype),
+                "uv": jnp.asarray(np.stack([p.uvar for p in padded]), nlp.dtype),
+            }
+            x0s = np.stack([p.x0 for p in padded])
+            st = solver.solve(x0s, bvals=bvals, pdata=pdata)
+
+            xs = np.asarray(st.p.x)
+            objs = np.asarray(st.cache.fval)
+            its = np.asarray(st.t) - 1
+            a = np.asarray(st.cache.a)
+            statuses = np.asarray(st.status)
+            for bi, i in enumerate(chunk):
+                inst = insts[i]
+                x_full = np.array(inst.x_fixed)
+                x_full[inst.free_idx] = xs[bi, :inst.n_true]
+                out[inst.name] = BucketResult(
+                    status=STATUS_NAMES[int(statuses[bi])],
+                    obj=float(objs[bi]),
+                    x=x_full, iterations=int(its[bi]),
+                    max_violation=float(max(0.0, -a[bi].min())),
+                    name=inst.name)
+    return out

@@ -68,14 +68,24 @@ class ShardedBatchSolver(BatchSolver):
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self._shard_leaf(x)), st)
 
-    def init(self, x0s) -> State:
+    def init(self, x0s, bvals=None, pdata=None) -> State:
         x0s = jnp.asarray(x0s, self.kernel.dtype)
         b = x0s.shape[0]
         n_dev = len(self.mesh.devices.flat)
         if b % n_dev != 0:
             raise ValueError(f"batch {b} not divisible by mesh size {n_dev}")
-        x0s = jax.device_put(x0s, NamedSharding(self.mesh, P("dp", None)))
-        return self._init_batch(x0s)
+
+        def put(x):
+            x = jnp.asarray(x)
+            return jax.device_put(x, NamedSharding(
+                self.mesh, P("dp", *([None] * (x.ndim - 1)))))
+
+        x0s = put(x0s)
+        if bvals is not None:
+            bvals = jax.tree_util.tree_map(put, bvals)
+        if pdata is not None:
+            pdata = jax.tree_util.tree_map(put, pdata)
+        return BatchSolver.init(self, x0s, bvals, pdata)
 
     def num_running(self, st: State) -> int:
         # cross-device reduction (lowers to a psum over ICI)

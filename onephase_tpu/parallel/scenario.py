@@ -184,7 +184,8 @@ class ScenarioKernel(OnePhaseKernel):
         return jnp.concatenate([out_z, out_X.reshape(-1)])
 
     # ---------------- overridden KKT path ----------------------------
-    def form_factor(self, p: Point, cache: Cache, prev: Factor) -> Factor:
+    def form_factor(self, p: Point, cache: Cache, prev: Factor,
+                    pdata=None) -> Factor:
         sp = self.spec
         nlp = self.nlp
         y_eff = p.y + p.mu * self.pars.a_norm_penalty

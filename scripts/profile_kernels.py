@@ -1,103 +1,143 @@
-"""On-device kernel microbenchmarks: XLA vs Pallas for the IPM hot ops.
+"""TPU microbenchmark: Pallas kernels vs XLA for the IPM hot ops.
 
-Run on the target backend (TPU by default; JAX_PLATFORMS_OVERRIDE=cpu to
-compare).  Measures, for representative (n, batch) points of the batched
-IPM workload:
+Dispatch through the axon tunnel costs ~1-2 ms per executable launch, so
+sub-ms ops are timed by chaining ITERS data-dependent applications inside a
+single jitted fori_loop and dividing.
 
-  - cholesky:    jnp.linalg.cholesky  vs  ops.cholesky.pallas_chol (vmap)
-  - chol_solve:  two XLA trisolves    vs  ops.cholesky.pallas_chol_solve
-  - fused Q:     xla_fused_q          vs  ops.schur.pallas_fused_q
+Per (n, batch) config:
+  - factor:   jnp.linalg.cholesky      vs  blocked Pallas chol
+  - inverse:  XLA trisolve-vs-identity vs  blocked Pallas tri_inv_gram
+  - solve:    XLA trisolve pair        vs  explicit-inverse matvec
+  - fused Q:  xla_fused_q              vs  pallas_fused_q
 
-Output: one table row per (op, n, batch, impl) with median ms/call and
-effective GFLOP/s.  This is the evidence behind the default
-`kkt.linear_solver_type` per backend (TODO.md round-2 item 1).
+Used to pick `kkt.linear_solver_type` defaults per backend.
+Run:  python scripts/profile_kernels.py [--sizes 128,256,512] [--batches 1,16,64]
 """
-
+import argparse
 import os
 import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS_OVERRIDE"):
-    import jax
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS_OVERRIDE"])
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+ITERS = 32
 
 
-def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
+def chain_time(step, init, reps=5):
+    """Time step applied ITERS times on-device; returns seconds/application."""
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, ITERS, lambda i, v: step(v), x)
+
+    try:
+        out = jax.block_until_ready(run(init))   # compile + warmup
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(reps):
+            out = run(out)
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts) * 1e3)
+        return (time.perf_counter() - t0) / (reps * ITERS), None
+    except Exception as e:  # noqa: BLE001
+        return None, str(e).split("\n")[0][:100]
 
 
-def spd_batch(b, n, dtype, seed=0):
-    rng = np.random.default_rng(seed)
-    A = rng.normal(size=(b, n, n)).astype(np.float32) / np.sqrt(n)
-    Q = np.einsum("bij,bkj->bik", A, A) + 2.0 * np.eye(n, dtype=np.float32)
-    return jnp.asarray(Q, dtype)
+def fmt(t):
+    return f"{t*1e6:8.1f}us" if t is not None else "    FAIL "
 
 
 def main():
-    from onephase_tpu.ops.cholesky import pallas_chol, pallas_chol_solve
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="128,256,512")
+    ap.add_argument("--batches", default="1,16,64")
+    ap.add_argument("--m-ratio", type=float, default=0.5)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    batches = [int(b) for b in args.batches.split(",")]
+
+    from onephase_tpu.ops.cholesky import (pallas_chol, pallas_tri_inv_gram,
+                                           xla_chol_inv_from_L)
     from onephase_tpu.ops.schur import pallas_fused_q, xla_fused_q
 
-    dtype = jnp.float32
-    print(f"backend={jax.default_backend()} dev={jax.devices()[0]}")
-    rows = []
-    for n in (128, 256, 512):
-        for b in (16, 64):
-            Q = spd_batch(b, n, dtype)
-            bvec = jnp.ones((b, n), dtype)
-            rng = np.random.default_rng(1)
-            m = n // 2
-            J = jnp.asarray(rng.normal(size=(b, m, n)), dtype)
-            w = jnp.abs(jnp.asarray(rng.normal(size=(b, m)), dtype)) + 0.1
-            H = Q
-            bnd = jnp.ones((b, n), dtype)
+    print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    fails = []
 
-            xla_chol = jax.jit(jnp.linalg.cholesky)
-            t = timeit(xla_chol, Q)
-            flops = b * n**3 / 3
-            rows.append(("chol", n, b, "xla", t, flops / t / 1e6))
+    for n in sizes:
+        m = int(n * args.m_ratio)
+        for b in batches:
+            A = rng.normal(size=(b, n, n)).astype(np.float32)
+            Q = jnp.asarray(A @ A.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32))
+            rhs = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+            J = jnp.asarray(rng.normal(size=(b, m, n)).astype(np.float32))
+            w = jnp.abs(jnp.asarray(rng.normal(size=(b, m)).astype(np.float32))) + 0.1
+            bnd = jnp.abs(rhs) + 0.1
+            eps = jnp.asarray(1e-20, jnp.float32)
 
-            pl_chol = jax.jit(jax.vmap(lambda q: pallas_chol(q)[0]))
-            t = timeit(pl_chol, Q)
-            rows.append(("chol", n, b, "pallas", t, flops / t / 1e6))
+            L = jax.block_until_ready(jnp.linalg.cholesky(Q))
+            Minv = jax.jit(jax.vmap(xla_chol_inv_from_L))(L)
 
-            L = xla_chol(Q)
-            import jax.scipy.linalg as jsl
-            xla_solve = jax.jit(jax.vmap(lambda l, v: jsl.solve_triangular(
-                l.T, jsl.solve_triangular(l, v, lower=True), lower=False)))
-            t = timeit(xla_solve, L, bvec)
-            flops = b * 2 * n**2
-            rows.append(("solve", n, b, "xla", t, flops / t / 1e6))
+            # --- factor ---
+            t_xc, e = chain_time(
+                lambda X: jnp.linalg.cholesky(Q + eps * (X + X.transpose(0, 2, 1))), L)
+            if e: fails.append(f"n={n} b={b} xla_chol: {e}")
+            pchol = jax.vmap(lambda q: pallas_chol(q)[0])
+            t_pc, e = chain_time(
+                lambda X: pchol(Q + eps * (X + X.transpose(0, 2, 1))), L)
+            if e: fails.append(f"n={n} b={b} pallas_chol: {e}")
 
-            pl_solve = jax.jit(jax.vmap(pallas_chol_solve))
-            t = timeit(pl_solve, L, bvec)
-            rows.append(("solve", n, b, "pallas", t, flops / t / 1e6))
+            # --- inverse (finalize step) ---
+            t_xi, e = chain_time(
+                lambda X: jax.vmap(xla_chol_inv_from_L)(L + eps * X), Minv)
+            if e: fails.append(f"n={n} b={b} xla_inv: {e}")
+            pinv = jax.vmap(pallas_tri_inv_gram)
+            t_pi, e = chain_time(lambda X: pinv(L + eps * X), Minv)
+            if e: fails.append(f"n={n} b={b} pallas_inv: {e}")
 
-            xq = jax.jit(jax.vmap(xla_fused_q))
-            t = timeit(xq, J, w, H, bnd)
-            flops = b * (2 * m * n * n)
-            rows.append(("fusedq", n, b, "xla", t, flops / t / 1e6))
+            # --- solve ---
+            def tri2(r):
+                z = jax.scipy.linalg.solve_triangular(L, r[..., None], lower=True)
+                z = jax.scipy.linalg.solve_triangular(
+                    L.transpose(0, 2, 1), z, lower=False)
+                return z[..., 0] / jnp.maximum(1.0, jnp.max(jnp.abs(z)))
+            t_xs, e = chain_time(tri2, rhs)
+            if e: fails.append(f"n={n} b={b} xla_solve: {e}")
 
-            pq = jax.jit(jax.vmap(lambda j_, w_, h_, b_: pallas_fused_q(
-                j_, w_, h_, b_)))
-            t = timeit(pq, J, w, H, bnd)
-            rows.append(("fusedq", n, b, "pallas", t, flops / t / 1e6))
+            def mv(r):
+                z = jnp.einsum("bij,bj->bi", Minv, r)
+                return z / jnp.maximum(1.0, jnp.max(jnp.abs(z)))
+            t_mv, e = chain_time(mv, rhs)
+            if e: fails.append(f"n={n} b={b} mv_solve: {e}")
 
-    print(f"{'op':8s} {'n':>5s} {'batch':>5s} {'impl':8s} "
-          f"{'ms':>9s} {'GFLOP/s':>9s}")
-    for op, n, b, impl, t, gf in rows:
-        print(f"{op:8s} {n:5d} {b:5d} {impl:8s} {t:9.3f} {gf:9.1f}")
+            # --- fused Q ---
+            xq = jax.vmap(xla_fused_q)
+            t_xq, e = chain_time(lambda X: xq(J, w, X * 1e-20 + Q, bnd), Q)
+            if e: fails.append(f"n={n} b={b} xla_q: {e}")
+            pq = jax.vmap(lambda j_, w_, h_, b_: pallas_fused_q(j_, w_, h_, b_))
+            t_pq, e = chain_time(lambda X: pq(J, w, X * 1e-20 + Q, bnd), Q)
+            if e: fails.append(f"n={n} b={b} pallas_q: {e}")
+
+            # correctness spot checks for the pallas paths
+            try:
+                Lp = jax.vmap(lambda q: pallas_chol(q)[0])(Q)
+                err_c = float(jnp.max(jnp.abs(Lp - L)) / jnp.max(jnp.abs(L)))
+                Mp = pinv(L)
+                err_i = float(jnp.max(jnp.abs(Mp - Minv)) / jnp.max(jnp.abs(Minv)))
+            except Exception as ex:  # noqa: BLE001
+                err_c = err_i = float("nan")
+                fails.append(f"n={n} b={b} pallas check: {str(ex).split(chr(10))[0][:100]}")
+
+            print(f"n={n:4d} m={m:4d} b={b:3d} | "
+                  f"chol x {fmt(t_xc)} p {fmt(t_pc)} (err {err_c:.1e}) | "
+                  f"inv x {fmt(t_xi)} p {fmt(t_pi)} (err {err_i:.1e}) | "
+                  f"solve tri {fmt(t_xs)} mv {fmt(t_mv)} | "
+                  f"Q x {fmt(t_xq)} p {fmt(t_pq)}",
+                  flush=True)
+
+    for f in fails:
+        print(f, flush=True)
 
 
 if __name__ == "__main__":

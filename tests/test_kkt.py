@@ -128,24 +128,31 @@ def test_lag_hess():
 
 
 def test_pallas_kernels_interpret():
-    """Pallas chol + fused solve in interpreter mode vs numpy."""
-    import jax
-    from onephase_tpu.ops.cholesky import pallas_chol, pallas_chol_solve
+    """Blocked Pallas chol + tri-inv-gram in interpreter mode vs numpy."""
+    from onephase_tpu.ops.cholesky import (pallas_chol, pallas_chol_inv,
+                                           pallas_tri_inv_gram)
     rng = np.random.default_rng(3)
+    for n in (40, 130):  # < one block and multi-block (128 + remainder pad)
+        M = rng.normal(size=(n, n)).astype(np.float32)
+        Q = jnp.asarray(M @ M.T + n * np.eye(n, dtype=np.float32))
+        L, d, ok = pallas_chol(Q, interpret=True)
+        assert bool(ok)
+        Lnp = np.linalg.cholesky(np.asarray(Q))
+        scale = np.abs(Lnp).max()
+        np.testing.assert_allclose(np.asarray(L) / scale, Lnp / scale, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(d), np.diagonal(Lnp), rtol=2e-5)
+        Minv = pallas_tri_inv_gram(L, interpret=True)
+        resid = np.asarray(Q) @ np.asarray(Minv) - np.eye(n)
+        assert np.abs(resid).max() < 5e-4
+        M2, d2, ok2 = pallas_chol_inv(Q, interpret=True)
+        assert bool(ok2)
+        np.testing.assert_allclose(np.asarray(M2), np.asarray(Minv), atol=1e-6)
+    # non-PD detection
     n = 40
     M = rng.normal(size=(n, n)).astype(np.float32)
     Q = jnp.asarray(M @ M.T + 3 * np.eye(n, dtype=np.float32))
-    L, ok = pallas_chol(Q, interpret=True)
-    assert bool(ok)
-    np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(np.asarray(Q)),
-                               atol=2e-5)
-    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    x = pallas_chol_solve(L, b, interpret=True)
-    np.testing.assert_allclose(np.asarray(Q) @ np.asarray(x), np.asarray(b),
-                               atol=2e-4)
-    # non-PD detection
-    _, ok2 = pallas_chol(Q - 50.0 * jnp.eye(n), interpret=True)
-    assert not bool(ok2)
+    _, _, okbad = pallas_chol(Q - 50.0 * jnp.eye(n), interpret=True)
+    assert not bool(okbad)
 
 
 def test_end_to_end_pallas_solver_interpret():
@@ -160,6 +167,17 @@ def test_end_to_end_pallas_solver_interpret():
             "kkt!linear_solver_type": "pallas"})
     finally:
         ops.INTERPRET = False
+    assert r.status == "Optimal"
+    assert abs(r.x[0] - 1.0) < 1e-3
+
+
+def test_end_to_end_invchol_solver():
+    """Full solve with the explicit-inverse (matvec-solve) backend."""
+    from onephase_tpu import one_phase_solve
+    from onephase_tpu.models import zoo
+    r = one_phase_solve(zoo.circle1(), options={
+        "output_level": 0, "term!max_it": 81,
+        "kkt!linear_solver_type": "invchol"})
     assert r.status == "Optimal"
     assert abs(r.x[0] - 1.0) < 1e-3
 
