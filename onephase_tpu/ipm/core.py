@@ -277,9 +277,10 @@ class OnePhaseKernel:
             return (L, d), ok
         Qd = Q + delta * jnp.eye(n, dtype=Q.dtype)
         if self.pars.kkt.linear_solver_type == "pallas":
-            # blocked VMEM-resident factorization (ops/cholesky.py)
-            from ..ops.cholesky import pallas_chol
-            L, d, pok = pallas_chol(Qd)
+            # blocked VMEM-resident factorization (ops/cholesky.py); under
+            # vmap the custom-vmap rule swaps in the batch-vectorized kernel
+            from ..ops.cholesky import chol_auto
+            L, d, pok = chol_auto(Qd)
             finite = jnp.all(jnp.isfinite(d)) & pok
         else:
             L = jnp.linalg.cholesky(Qd)
@@ -303,8 +304,8 @@ class OnePhaseKernel:
             return L
         lst = self.pars.kkt.linear_solver_type
         if lst == "pallas":
-            from ..ops.cholesky import pallas_tri_inv_gram
-            return pallas_tri_inv_gram(L)
+            from ..ops.cholesky import tri_inv_gram_auto
+            return tri_inv_gram_auto(L)
         if lst == "invchol":
             from ..ops.cholesky import xla_chol_inv_from_L
             return xla_chol_inv_from_L(L)

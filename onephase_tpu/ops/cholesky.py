@@ -245,3 +245,264 @@ def xla_chol_inv_from_L(L):
     Li = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(L.shape[-1], dtype=L.dtype), lower=True)
     return Li.T @ Li
+
+
+# ===========================================================================
+# Batch-vectorized kernels.
+#
+# XLA's batched `cholesky` (and trisolves) serialize per batch element on
+# TPU — measured 2.7 ms for (64, 256, 256) f32 on v5e, worse than linear in
+# batch.  These kernels instead carry the whole batch chunk through the
+# factorization: each serial step-j update works on (bc, ., .) arrays, so
+# the VPU lanes amortize the step latency across instances and the
+# panel/trailing updates are batched MXU matmuls.  The batch is chunked by a
+# grid so VMEM holds ~4 MB per program.
+#
+# The batched `ok` flag rides inside d: d_j = sign(pivot_j)*sqrt(|pivot_j|),
+# so callers recover inertia as all(d > 0) without an SMEM output.
+# ===========================================================================
+
+def _batched_unblocked_chol(A0):
+    """Masked Cholesky of a (bc, bs, bs) tile batch; d entries signed.
+
+    Per-batch scalars are carried as (bc, 1) 2-D arrays — Mosaic's layout
+    assignment aborts on (bc, 1, 1) reductions (verified on v5e) — and the
+    rank-1 outer product goes through dot_general (batched MXU)."""
+    bc, bs = A0.shape[0], A0.shape[1]
+    dt = A0.dtype
+    row = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 2)
+    crow2 = lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+    tiny = jnp.asarray(1e-38 if dt == jnp.float32 else 1e-300, dt)
+
+    def body(j, carry):
+        A, dsg = carry
+        pr = jnp.sum(jnp.where((row == j) & (col == j), A, 0.0), axis=2)
+        p1 = jnp.sum(pr, axis=1, keepdims=True)              # (bc,1)
+        good = (p1 > 0.0) & jnp.isfinite(p1)
+        djs = jnp.where(good, jnp.sqrt(jnp.abs(p1) + tiny),
+                        -jnp.sqrt(jnp.abs(p1) + tiny))
+        dinv = lax.rsqrt(jnp.maximum(p1, tiny))
+        colj = jnp.sum(jnp.where(col == j, A, 0.0), axis=2)  # (bc,bs)
+        Lcol = jnp.where(crow2 >= j, colj * dinv, 0.0)
+        below = jnp.where(crow2 > j, Lcol, 0.0)[:, :, None]  # (bc,bs,1)
+        A = A - lax.dot_general(
+            below, below, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=dt)
+        A = jnp.where(col == j, Lcol[:, :, None], A)
+        dsg = jnp.where(crow2 == j, djs, dsg)                # (bc,bs)
+        return A, dsg
+
+    dsg0 = jnp.zeros((bc, bs), dt)
+    A, dsg = lax.fori_loop(0, bs, body, (A0, dsg0))
+    return jnp.where(row >= col, A, 0.0), dsg
+
+
+def _batched_tri_inv_unblocked(L):
+    """Batched inverse of (bc, bs, bs) lower-triangular tiles."""
+    bs = L.shape[1]
+    dt = L.dtype
+    row = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 2)
+    crow2 = lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+
+    def body(j, Inv):
+        lrow = jnp.sum(jnp.where(row == j, L, 0.0), axis=1)  # (bc,bs)
+        lrow = jnp.where(crow2 < j, lrow, 0.0)
+        # LHS must keep a non-contracting dim (Mosaic rejects an empty
+        # lhs_non_contracting_dims attribute), so run (bc,1,bs) @ (bc,bs,bs)
+        contrib = lax.dot_general(
+            lrow[:, None, :], Inv,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt)[:, 0, :]             # (bc,bs)
+        ej = jnp.where(crow2 == j, 1.0, 0.0).astype(dt)
+        pj = jnp.sum(jnp.where((row == j) & (col == j), L, 0.0), axis=2)
+        d1 = jnp.sum(pj, axis=1, keepdims=True)              # (bc,1)
+        newrow = (ej - contrib) / d1                         # (bc,bs)
+        return jnp.where(row == j, newrow[:, None, :], Inv)
+
+    return lax.fori_loop(0, bs, body, jnp.zeros_like(L))
+
+
+def _bmm(a, b):
+    return lax.dot_general(a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                           preferred_element_type=a.dtype)
+
+
+def _bT(a):
+    return jnp.swapaxes(a, 1, 2)
+
+
+def _batched_chol_kernel(a_ref, l_ref, d_ref):
+    n = a_ref.shape[1]
+    bc = a_ref.shape[0]
+    bs = min(BS, n)
+    nb = n // bs
+    l_ref[:] = a_ref[:]
+    # d_ref holds the FULL (b, n) array (small); each grid step writes its
+    # batch-chunk rows — a (bc, n) block would violate the sublane-divisible
+    # -by-8 rule when bc is small (large n).
+    g0 = pl.program_id(0) * bc
+
+    for kb in range(nb):
+        o = kb * bs
+        Lkk, dsg = _batched_unblocked_chol(l_ref[:, o:o + bs, o:o + bs])
+        l_ref[:, o:o + bs, o:o + bs] = Lkk
+        d_ref[pl.ds(g0, bc), o:o + bs] = dsg
+        if kb < nb - 1:
+            Ikk = _batched_tri_inv_unblocked(Lkk)
+            L21 = _bmm(l_ref[:, o + bs:, o:o + bs], _bT(Ikk))
+            l_ref[:, o + bs:, o:o + bs] = L21
+            l_ref[:, o + bs:, o + bs:] -= _bmm(L21, _bT(L21))
+
+    row = lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    l_ref[:] = jnp.where(row >= col, l_ref[:], 0.0)
+
+
+def _batched_tri_inv_gram_kernel(l_ref, m_ref, li_ref):
+    n = l_ref.shape[1]
+    bs = min(BS, n)
+    nb = n // bs
+    dt = l_ref.dtype
+    bc = l_ref.shape[0]
+
+    for i in range(nb):
+        o = i * bs
+        li_ref[:, o:o + bs, o:o + bs] = _batched_tri_inv_unblocked(
+            l_ref[:, o:o + bs, o:o + bs])
+        for j in range(i):
+            oj = j * bs
+            acc = jnp.zeros((bc, bs, bs), dt)
+            for k in range(j, i):
+                ok_ = k * bs
+                acc += _bmm(l_ref[:, o:o + bs, ok_:ok_ + bs],
+                            li_ref[:, ok_:ok_ + bs, oj:oj + bs])
+            li_ref[:, o:o + bs, oj:oj + bs] = -_bmm(
+                li_ref[:, o:o + bs, o:o + bs], acc)
+        for j in range(i + 1, nb):
+            li_ref[:, o:o + bs, j * bs:(j + 1) * bs] = jnp.zeros((bc, bs, bs), dt)
+
+    Li = li_ref[:]
+    m_ref[:] = _bmm(_bT(Li), Li)
+
+
+def _batch_chunk(b, n, n_bufs):
+    per = n * n * 4 * n_bufs
+    bc = max(1, (4 * 1024 * 1024) // per)
+    bc = min(bc, b, 64)
+    while b % bc:
+        bc -= 1
+    return bc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_chol_batched(Q, interpret: bool = None):
+    """Batched blocked Cholesky of (B, n, n) SPD matrices.
+
+    Returns (L, d, ok) with batch-leading shapes; d is the signed-pivot
+    diagonal (negative entries mark non-PD instances)."""
+    if interpret is None:
+        from . import INTERPRET
+        interpret = INTERPRET
+    b, n = Q.shape[0], Q.shape[-1]
+    bs = _block_size(n)
+    n_p = _round_up(n, bs)
+    if n_p != n:
+        Qp = jnp.zeros((b, n_p, n_p), Q.dtype).at[:, :n, :n].set(Q)
+        idx = jnp.arange(n, n_p)
+        Qp = Qp.at[:, idx, idx].set(1.0)
+    else:
+        Qp = Q
+    bc = _batch_chunk(b, n_p, 2)
+    L, d = pl.pallas_call(
+        _batched_chol_kernel,
+        grid=(b // bc,),
+        in_specs=[pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((b, n_p), lambda g: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, n_p, n_p), Q.dtype),
+                   jax.ShapeDtypeStruct((b, n_p), Q.dtype)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_p ** 3 // 3, transcendentals=b * n_p,
+            bytes_accessed=2 * b * n_p * n_p * Q.dtype.itemsize),
+    )(Qp)
+    d = d[:, :n]
+    ok = jnp.all(d > 0, axis=-1)
+    return L[:, :n, :n], jnp.abs(d), ok
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_tri_inv_gram_batched(L, interpret: bool = None):
+    """Batched M = L^-T L^-1 for (B, n, n) lower-triangular factors."""
+    if interpret is None:
+        from . import INTERPRET
+        interpret = INTERPRET
+    b, n = L.shape[0], L.shape[-1]
+    bs = _block_size(n)
+    n_p = _round_up(n, bs)
+    if n_p != n:
+        Lp = jnp.zeros((b, n_p, n_p), L.dtype).at[:, :n, :n].set(L)
+        idx = jnp.arange(n, n_p)
+        Lp = Lp.at[:, idx, idx].set(1.0)
+    else:
+        Lp = L
+    bc = _batch_chunk(b, n_p, 3)
+    M = pl.pallas_call(
+        _batched_tri_inv_gram_kernel,
+        grid=(b // bc,),
+        in_specs=[pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_p, n_p), L.dtype),
+        scratch_shapes=[pltpu.VMEM((bc, n_p, n_p), L.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * (n_p ** 3 // 3 + 2 * n_p ** 3), transcendentals=0,
+            bytes_accessed=3 * b * n_p * n_p * L.dtype.itemsize),
+    )(Lp)
+    return M[:, :n, :n]
+
+
+# ---------------------------------------------------------------------------
+# custom-vmap dispatchers: single-instance Pallas kernel at rank 2, the
+# batch-vectorized kernel when the caller vmaps (parallel/batch.BatchSolver).
+# ---------------------------------------------------------------------------
+import jax.custom_batching as _custom_batching
+
+
+@_custom_batching.custom_vmap
+def chol_auto(Q):
+    """(L, d, ok) = blocked Cholesky; batch-aware under vmap."""
+    return pallas_chol(Q)
+
+
+@chol_auto.def_vmap
+def _chol_auto_vmap(axis_size, in_batched, Q):
+    from . import INTERPRET
+    if INTERPRET:
+        out = jax.lax.map(pallas_chol, Q)
+    else:
+        out = pallas_chol_batched(Q)
+    return out, (True, True, True)
+
+
+@_custom_batching.custom_vmap
+def tri_inv_gram_auto(L):
+    """M = L^-T L^-1; batch-aware under vmap."""
+    return pallas_tri_inv_gram(L)
+
+
+@tri_inv_gram_auto.def_vmap
+def _tig_auto_vmap(axis_size, in_batched, L):
+    from . import INTERPRET
+    if INTERPRET:
+        out = jax.lax.map(pallas_tri_inv_gram, L)
+    else:
+        out = pallas_tri_inv_gram_batched(L)
+    return out, True
