@@ -28,6 +28,13 @@ class KKTParams:
 
     it_refine_num: int = 3            # fixed-count iterative refinement (schur.jl:158)
     it_refine_highprec: bool = False  # f64-compensated residual accumulation (ref: BigFloat)
+    # adaptive refinement (TPU addition): keep refining until the Schur
+    # residual drops below it_refine_tol * ||rhs|| (0 -> 10*eps of the solve
+    # dtype) or it_refine_max passes, exiting early when converged; the
+    # a-posteriori KKT-error ratio remains the outer guardrail.
+    it_refine_adaptive: bool = False
+    it_refine_tol: float = 0.0
+    it_refine_max: int = 10
     kkt_solver_type: str = "schur"    # schur | symmetric (reference default :schur)
     # xla: chol + triangular solves; invchol: chol + explicit-inverse matvec
     # solves; pallas: blocked Pallas chol + inverse (TPU).  (The reference's

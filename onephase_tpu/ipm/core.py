@@ -382,18 +382,47 @@ class OnePhaseKernel:
         With `kkt.it_refine_highprec` the residual matvecs run in
         double-single arithmetic (ops/refine.py) — the TPU-native stand-in
         for the reference's f64/BigFloat accumulators (schur.jl:154-156).
+
+        With `kkt.it_refine_adaptive` the pass count is driven by the
+        residual itself: refine until ||res||_inf <= tol * ||rhs||_inf or
+        it_refine_max passes — a bounded lax.while_loop, so it stays jittable
+        and saves matvecs whenever the factorization is already accurate.
         """
         nlp = self.nlp
         S_vec = fact.y_f / fact.s_f
         if self.pars.kkt.it_refine_highprec:
             return self._refine_solve_hp(fact, schur_rhs, S_vec)
-        dx = jnp.zeros_like(schur_rhs)
-        res = schur_rhs
-        for _ in range(self.pars.kkt.it_refine_num):
-            dx = dx + self.chol_solve(fact.L, res)
+
+        def residual(dx):
             jac_res = nlp.jtprod_mat(fact.Jc, S_vec * nlp.jprod_mat(fact.Jc, dx))
             hess_res = fact.H @ dx + fact.delta * dx
-            res = schur_rhs - (jac_res + hess_res)
+            return schur_rhs - (jac_res + hess_res)
+
+        if not self.pars.kkt.it_refine_adaptive:
+            dx = jnp.zeros_like(schur_rhs)
+            res = schur_rhs
+            for _ in range(self.pars.kkt.it_refine_num):
+                dx = dx + self.chol_solve(fact.L, res)
+                res = residual(dx)
+            return dx
+
+        tol = self.pars.kkt.it_refine_tol or 10.0 * float(
+            jnp.finfo(self.dtype).eps)
+        rhs_norm = _norm_inf(schur_rhs)
+
+        def cond(c):
+            dx, res, i = c
+            return (i < self.pars.kkt.it_refine_max) & (
+                _norm_inf(res) > tol * rhs_norm)
+
+        def body(c):
+            dx, res, i = c
+            dx = dx + self.chol_solve(fact.L, res)
+            return dx, residual(dx), i + 1
+
+        dx, _, _ = lax.while_loop(
+            cond, body,
+            (jnp.zeros_like(schur_rhs), schur_rhs, jnp.asarray(0, jnp.int32)))
         return dx
 
     def _refine_solve_hp(self, fact: Factor, schur_rhs, S_vec):
@@ -607,6 +636,132 @@ class OnePhaseKernel:
         ub = jnp.where(bad, -1.0, ub)
         return lb, ub
 
+    def _trial_tail(self, st, direction, be_agg, alpha, x_new, cons_new,
+                    pull, a_new, beta_new, s_new, mu_new, nan_move, lb_y_vec,
+                    predict_red, zero_pt, zero_cache):
+        """Dual step + acceptance for one line-search trial whose slack
+        fraction-to-boundary check already passed (called under lax.cond from
+        line_search.trial; reference: line_search.jl:100-126 + move.jl:81-133
+        + the acceptance rules of stable/agg/filter_ls.jl)."""
+        nlp = self.nlp
+        pars = self.pars
+        p, cache = st.p, st.cache
+        dt = self.dtype
+        s_ok = jnp.asarray(True)
+
+        # --- dual bounds (line_search.jl:100-118) ----------------
+        lb, ub = self.dual_bounds(s_new, mu_new, p.y, direction.y)
+        ub = jnp.minimum(ub, self.simple_max_step(p.y, direction.y, lb_y_vec))
+        dual_ok = lb < ub
+
+        # --- move_dual (move.jl:81-133), dual_ls default 1 -------
+        g_new = nlp.grad_f(x_new, st.pdata)
+
+        def jt(w):
+            wc, bnd = nlp.split_canonical(w)
+            if pull is not None:
+                return pull(wc)[0] + bnd
+            return bnd
+
+        jt_y_old = jt(p.y)
+        jt_dy = jt(direction.y)
+        jt_ones_new = (nlp.jtprod_ones(x_new, st.pdata)
+                       if nlp.m_orig > 0 else nlp._bnd_ones)
+        th = pars.a_norm_penalty
+        dual_res = g_new - jt_y_old + mu_new * th * jt_ones_new
+        comp_new_old_y = s_new * p.y - mu_new
+        scale = self.dual_scale(p.y)  # dual_scale of candidate (y unchanged yet)
+        small_step = jnp.maximum(lb, jnp.minimum(ub, alpha))
+        if pars.ls.dual_ls in (1, 3):
+            # least-squares dual step (move.jl:100-117); dual_ls=3 adds
+            # the proximal term delta*dx*alpha to the dual residual
+            qv = jnp.concatenate([scale * jt_dy, scale * s_new * direction.y])
+            prox = dual_res
+            if pars.ls.dual_ls == 3:
+                prox = dual_res + st.delta * direction.x * alpha
+            res = jnp.concatenate([scale * prox, -scale * comp_new_old_y])
+            denom = jnp.sum(qv * qv)
+            alpha_D = jnp.where(denom > 0, jnp.sum(res * qv) / denom, ub)
+            alpha_D = jnp.clip(alpha_D, small_step, ub)
+        elif pars.ls.dual_ls == 2:
+            # try full step ub vs small_step, keep ub if it cuts the kkt
+            # error by kkt_reduction_factor (move.jl:84-99)
+            comp_term = jnp.max(jnp.abs(comp_new_old_y))
+            initial_err = (jnp.max(jnp.abs(dual_res)) * scale + comp_term)
+            y_big = p.y + ub * direction.y
+            big_err = (jnp.max(jnp.abs(dual_res - ub * jt_dy))
+                       * self.dual_scale(y_big)
+                       + jnp.max(jnp.abs(s_new * y_big - mu_new)))
+            take_big = big_err < initial_err * (1.0 - pars.ls.kkt_reduction_factor)
+            alpha_D = jnp.where(take_big, ub, small_step)
+        else:  # dual_ls == 0
+            alpha_D = ub
+        y_new = p.y + direction.y * alpha_D
+        cand_p = Point(x=x_new, y=y_new, s=s_new, mu=mu_new, beta=beta_new)
+        feas_after = self.is_feasible(cand_p, pars.ls.comp_feas)
+
+        # --- candidate cache -------------------------------------
+        jt_y_new = jt_y_old + alpha_D * jt_dy
+        fval_new = nlp.f(x_new, st.pdata)
+        cand_c = Cache(fval=fval_new, cons=cons_new, a=a_new, g=g_new,
+                       jt_y=jt_y_new, jt_ones=jt_ones_new)
+        nan_any = nan_move | _isbad(g_new) | _isbad(fval_new)
+
+        # --- acceptance ------------------------------------------
+        # stable part (accept_func_stable!, stable_ls.jl:34-64)
+        actual_red = self.merit_diff(p, cache, cand_p, cand_c)
+        frac = actual_red / (predict_red * alpha)
+        stable_ok = ((predict_red < 0.0) & (actual_red <= 0.0)
+                     & (frac > pars.ls.predict_reduction_factor))
+        # filter fallback (accept_func_kkt!, satisfies_filter! test2)
+        cand_merit = self.eval_merit(cand_p, cand_c)
+        cand_kkt = _norm_inf(self.grad_lag(cand_c, y_new, mu_new))
+        if pars.ls.kkt_include_comp:
+            cand_kkt = cand_kkt + _norm_inf(self.comp(cand_p))
+        cand_kkt = cand_kkt * self.dual_scale(y_new)
+        filt = st.filt
+        idx = jnp.arange(self.filt_cap)
+        live = idx < filt.count
+        kkt_red = cand_kkt / filt.kkt < (1.0 - pars.ls.kkt_reduction_factor * alpha)
+        fval_no_inc = cand_merit < filt.merit + jnp.sqrt(cand_kkt)
+        beta_dec = cand_p.beta < filt.beta
+        if pars.ls.filter_type == "test2":
+            entry_ok = beta_dec | (kkt_red & fval_no_inc)
+        elif pars.ls.filter_type == "default":
+            entry_ok = beta_dec | kkt_red
+        elif pars.ls.filter_type == "test1":
+            fval_red = cand_merit < filt.merit - cand_kkt ** 2
+            entry_ok = beta_dec | kkt_red | fval_red
+        else:  # test3
+            net = cand_kkt + cand_merit < filt.merit + filt.kkt - cand_kkt ** 2
+            entry_ok = beta_dec | net
+        filter_ok = jnp.all(entry_ok | ~live)
+        stb_accept = stable_ok | filter_ok
+
+        # aggressive acceptance (agg_ls.jl:36-48)
+        sdf_cand = self.scaled_dual_feas(cand_p, cand_c, mu_new)
+        apf = pars.agg_protection_factor
+        tau = mu_new / (sdf_cand * (1.0 - apf))
+        agg_accept = (mu_new / p.mu >= 1.0 - apf) | (tau >= 1.0)
+        agg_suggest = jnp.maximum(apf ** 2, alpha * tau ** 2)
+
+        accept = jnp.where(be_agg, agg_accept, stb_accept)
+        accept = accept & s_ok & dual_ok & feas_after & ~nan_any
+
+        status = jnp.where(
+            accept, LS_SUCCESS,
+            jnp.where(nan_any, LS_NAN_ERR,
+                      jnp.where(~s_ok, LS_S_BOUND,
+                                jnp.where(~dual_ok | ~feas_after,
+                                          LS_DUAL_INFEASIBLE,
+                                          LS_NOT_ENOUGH_PROGRESS))))
+        bt = alpha * pars.ls.backtracking_factor
+        suggested = jnp.where(be_agg & (status == LS_NOT_ENOUGH_PROGRESS),
+                              agg_suggest, bt)
+        return (status.astype(jnp.int32), suggested.astype(dt),
+                cand_p, cand_c, alpha_D.astype(dt))
+
+
     # ==================================================================
     # line search (reference: line_search.jl:36-199)
     # ==================================================================
@@ -673,117 +828,25 @@ class OnePhaseKernel:
             nan_move = _isbad(a_new)
             s_ok = jnp.all(s_new >= lb_s_vec) & ~nan_move
 
-            # --- dual bounds (line_search.jl:100-118) ----------------
-            lb, ub = self.dual_bounds(s_new, mu_new, p.y, direction.y)
-            ub = jnp.minimum(ub, self.simple_max_step(p.y, direction.y, lb_y_vec))
-            dual_ok = lb < ub
+            # slack check failed: reject without evaluating the remaining
+            # oracles (grad_f, f, J^T products) — the reference pays a
+            # constraint eval per trial but defers the rest the same way
+            # (move.jl:6-8, line_search.jl:100-126); here the skip is a
+            # lax.cond so the whole dual/acceptance block drops out of the
+            # trace on the (common) slack-bound backtracks.
+            def reject_slack(_):
+                status = jnp.where(nan_move, LS_NAN_ERR, LS_S_BOUND)
+                return (status.astype(jnp.int32),
+                        (alpha * pars.ls.backtracking_factor).astype(dt),
+                        zero_pt, zero_cache, jnp.asarray(0.0, dt))
 
-            # --- move_dual (move.jl:81-133), dual_ls default 1 -------
-            g_new = nlp.grad_f(x_new, st.pdata)
+            def eval_trial(_):
+                return self._trial_tail(
+                    st, direction, be_agg, alpha, x_new, cons_new, pull,
+                    a_new, beta_new, s_new, mu_new, nan_move, lb_y_vec,
+                    predict_red, zero_pt, zero_cache)
 
-            def jt(w):
-                wc, bnd = nlp.split_canonical(w)
-                if pull is not None:
-                    return pull(wc)[0] + bnd
-                return bnd
-
-            jt_y_old = jt(p.y)
-            jt_dy = jt(direction.y)
-            jt_ones_new = (nlp.jtprod_ones(x_new, st.pdata)
-                           if nlp.m_orig > 0 else nlp._bnd_ones)
-            th = pars.a_norm_penalty
-            dual_res = g_new - jt_y_old + mu_new * th * jt_ones_new
-            comp_new_old_y = s_new * p.y - mu_new
-            scale = self.dual_scale(p.y)  # dual_scale of candidate (y unchanged yet)
-            small_step = jnp.maximum(lb, jnp.minimum(ub, alpha))
-            if pars.ls.dual_ls in (1, 3):
-                # least-squares dual step (move.jl:100-117); dual_ls=3 adds
-                # the proximal term delta*dx*alpha to the dual residual
-                qv = jnp.concatenate([scale * jt_dy, scale * s_new * direction.y])
-                prox = dual_res
-                if pars.ls.dual_ls == 3:
-                    prox = dual_res + st.delta * direction.x * alpha
-                res = jnp.concatenate([scale * prox, -scale * comp_new_old_y])
-                denom = jnp.sum(qv * qv)
-                alpha_D = jnp.where(denom > 0, jnp.sum(res * qv) / denom, ub)
-                alpha_D = jnp.clip(alpha_D, small_step, ub)
-            elif pars.ls.dual_ls == 2:
-                # try full step ub vs small_step, keep ub if it cuts the kkt
-                # error by kkt_reduction_factor (move.jl:84-99)
-                comp_term = jnp.max(jnp.abs(comp_new_old_y))
-                initial_err = (jnp.max(jnp.abs(dual_res)) * scale + comp_term)
-                y_big = p.y + ub * direction.y
-                big_err = (jnp.max(jnp.abs(dual_res - ub * jt_dy))
-                           * self.dual_scale(y_big)
-                           + jnp.max(jnp.abs(s_new * y_big - mu_new)))
-                take_big = big_err < initial_err * (1.0 - pars.ls.kkt_reduction_factor)
-                alpha_D = jnp.where(take_big, ub, small_step)
-            else:  # dual_ls == 0
-                alpha_D = ub
-            y_new = p.y + direction.y * alpha_D
-            cand_p = Point(x=x_new, y=y_new, s=s_new, mu=mu_new, beta=beta_new)
-            feas_after = self.is_feasible(cand_p, pars.ls.comp_feas)
-
-            # --- candidate cache -------------------------------------
-            jt_y_new = jt_y_old + alpha_D * jt_dy
-            fval_new = nlp.f(x_new, st.pdata)
-            cand_c = Cache(fval=fval_new, cons=cons_new, a=a_new, g=g_new,
-                           jt_y=jt_y_new, jt_ones=jt_ones_new)
-            nan_any = nan_move | _isbad(g_new) | _isbad(fval_new)
-
-            # --- acceptance ------------------------------------------
-            # stable part (accept_func_stable!, stable_ls.jl:34-64)
-            actual_red = self.merit_diff(p, cache, cand_p, cand_c)
-            frac = actual_red / (predict_red * alpha)
-            stable_ok = ((predict_red < 0.0) & (actual_red <= 0.0)
-                         & (frac > pars.ls.predict_reduction_factor))
-            # filter fallback (accept_func_kkt!, satisfies_filter! test2)
-            cand_merit = self.eval_merit(cand_p, cand_c)
-            cand_kkt = _norm_inf(self.grad_lag(cand_c, y_new, mu_new))
-            if pars.ls.kkt_include_comp:
-                cand_kkt = cand_kkt + _norm_inf(self.comp(cand_p))
-            cand_kkt = cand_kkt * self.dual_scale(y_new)
-            filt = st.filt
-            idx = jnp.arange(self.filt_cap)
-            live = idx < filt.count
-            kkt_red = cand_kkt / filt.kkt < (1.0 - pars.ls.kkt_reduction_factor * alpha)
-            fval_no_inc = cand_merit < filt.merit + jnp.sqrt(cand_kkt)
-            beta_dec = cand_p.beta < filt.beta
-            if pars.ls.filter_type == "test2":
-                entry_ok = beta_dec | (kkt_red & fval_no_inc)
-            elif pars.ls.filter_type == "default":
-                entry_ok = beta_dec | kkt_red
-            elif pars.ls.filter_type == "test1":
-                fval_red = cand_merit < filt.merit - cand_kkt ** 2
-                entry_ok = beta_dec | kkt_red | fval_red
-            else:  # test3
-                net = cand_kkt + cand_merit < filt.merit + filt.kkt - cand_kkt ** 2
-                entry_ok = beta_dec | net
-            filter_ok = jnp.all(entry_ok | ~live)
-            stb_accept = stable_ok | filter_ok
-
-            # aggressive acceptance (agg_ls.jl:36-48)
-            sdf_cand = self.scaled_dual_feas(cand_p, cand_c, mu_new)
-            apf = pars.agg_protection_factor
-            tau = mu_new / (sdf_cand * (1.0 - apf))
-            agg_accept = (mu_new / p.mu >= 1.0 - apf) | (tau >= 1.0)
-            agg_suggest = jnp.maximum(apf ** 2, alpha * tau ** 2)
-
-            accept = jnp.where(be_agg, agg_accept, stb_accept)
-            accept = accept & s_ok & dual_ok & feas_after & ~nan_any
-
-            status = jnp.where(
-                accept, LS_SUCCESS,
-                jnp.where(nan_any, LS_NAN_ERR,
-                          jnp.where(~s_ok, LS_S_BOUND,
-                                    jnp.where(~dual_ok | ~feas_after,
-                                              LS_DUAL_INFEASIBLE,
-                                              LS_NOT_ENOUGH_PROGRESS))))
-            bt = alpha * pars.ls.backtracking_factor
-            suggested = jnp.where(be_agg & (status == LS_NOT_ENOUGH_PROGRESS),
-                                  agg_suggest, bt)
-            return (status.astype(jnp.int32), suggested.astype(dt),
-                    cand_p, cand_c, alpha_D.astype(dt))
+            return lax.cond(s_ok, eval_trial, reject_slack, None)
 
         def cond(c):
             alpha, i, status, alpha_D, _, _ = c

@@ -93,6 +93,99 @@ def pallas_fused_q(Jc, w, H, bnd, tile_n: int = 256, tile_k: int = 512,
     return out[:n, :n]
 
 
+def _fused_q_tri_kernel(ji_ref, jj_ref, w_ref, out_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :, :] += jax.lax.dot_general(
+        ji_ref[:] * w_ref[:], jj_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
+def pallas_fused_q_tri(Jc, w, H, bnd, tile_n: int = 128, tile_k: int = 512,
+                       interpret: bool = None):
+    """Triangle-tiled Q = H + Jc^T diag(w) Jc + diag(bnd).
+
+    Exploits the symmetry of J^T D J, which XLA's matmul cannot: the Pallas
+    grid enumerates only the nb*(nb+1)/2 lower-triangular (i, j) tile pairs
+    — each an MXU contraction over the constraint axis — into a compact
+    (T, tn, tn) tile stack; the O(n^2) mirror/reassembly (block scatter,
+    block-transpose mirror, H + diagonal add) happens in XLA where it fuses.
+    Saves up to 2x of the formation MXU time at nb >> 1 (the reference's
+    single hottest line item, 42.1% of runtime, docs/one-phase.tex:901-912).
+
+    Measured on v5e (f32, 2026-08): at n,m <= 2048 the formation op is
+    bandwidth-bound, and the compact-stack write + XLA reassembly costs more
+    than the skipped upper-triangle MXU work (tri 276us vs xla 161us at
+    m=2048,n=1024) — so `fused_q` does NOT dispatch here by default; this
+    kernel is kept for the compute-bound regime (m >> 4096) and as the
+    symmetric-tiling building block.
+    """
+    if interpret is None:
+        from . import INTERPRET
+        interpret = INTERPRET
+    m, n = Jc.shape
+    dt = H.dtype
+    tn = min(tile_n, _round_up(n, 128))
+    tk = min(tile_k, _round_up(max(m, 1), 8))
+    n_p = _round_up(n, tn)
+    m_p = _round_up(max(m, 1), tk)
+    nb = n_p // tn
+    rows_np = np.concatenate([np.full(i + 1, i) for i in range(nb)])
+    cols_np = np.concatenate([np.arange(i + 1) for i in range(nb)])
+    T = len(rows_np)
+
+    Jp = jnp.zeros((m_p, n_p), dt).at[:m, :n].set(Jc)
+    wp = jnp.zeros((m_p, 1), dt).at[:m, 0].set(w)
+
+    def _tri_ij(t):
+        """Decode flat lower-triangular index t -> (block_i, block_j).
+
+        Index maps must be closed-form in the grid indices (no captured
+        arrays), so invert t = i(i+1)/2 + j arithmetically with an exact
+        integer fix-up of the f32 sqrt."""
+        i = ((jnp.sqrt(8.0 * t.astype(jnp.float32) + 1.0) - 1.0) / 2.0
+             ).astype(jnp.int32)
+        i = jnp.where(i * (i + 1) // 2 > t, i - 1, i)
+        i = jnp.where((i + 1) * (i + 2) // 2 <= t, i + 1, i)
+        return i, t - i * (i + 1) // 2
+
+    tiles = pl.pallas_call(
+        _fused_q_tri_kernel,
+        grid=(T, m_p // tk),
+        in_specs=[
+            pl.BlockSpec((tk, tn), lambda t, k: (k, _tri_ij(t)[0]),
+                         memory_space=pltpu.VMEM),   # Jc k-tile, row-block cols
+            pl.BlockSpec((tk, tn), lambda t, k: (k, _tri_ij(t)[1]),
+                         memory_space=pltpu.VMEM),   # Jc k-tile, col-block cols
+            pl.BlockSpec((tk, 1), lambda t, k: (k, 0),
+                         memory_space=pltpu.VMEM),   # w k-tile
+        ],
+        out_specs=pl.BlockSpec((1, tn, tn), lambda t, k: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, tn, tn), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * tn * tn * T,
+            bytes_accessed=(2 * T * (m_p // tk) * tk * tn
+                            + T * tn * tn) * Jp.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(Jp, Jp, wp)
+
+    # XLA reassembly: block scatter + symmetric mirror + H + diag adds
+    Qb = jnp.zeros((nb, nb, tn, tn), dt).at[rows_np, cols_np].set(tiles)
+    mirror = jnp.swapaxes(jnp.swapaxes(Qb, 0, 1), 2, 3)
+    diag_b = jnp.arange(nb)
+    mirror = mirror.at[diag_b, diag_b].set(0.0)
+    Q = (Qb + mirror).swapaxes(1, 2).reshape(n_p, n_p)[:n, :n]
+    return Q + H + jnp.diag(bnd)
+
+
 def xla_fused_q(Jc, w, H, bnd):
     if Jc.shape[0] > 0:
         Q = H + (Jc * w[:, None]).T @ Jc
