@@ -8,11 +8,11 @@ batching, and mesh-sharded sweeps.
 
 from .config import Params
 from .nlp import NLPSpec, CanonNLP, canonicalize
-from .solver import one_phase_solve, Result
+from .solver import one_phase_solve, Result, EvalNaNError
 
 __all__ = [
     "Params", "NLPSpec", "CanonNLP", "canonicalize",
-    "one_phase_solve", "Result",
+    "one_phase_solve", "Result", "EvalNaNError",
 ]
 
 __version__ = "0.1.0"

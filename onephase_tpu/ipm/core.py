@@ -172,8 +172,12 @@ class OnePhaseKernel:
         th = self.pars.a_norm_penalty
         return cache.g - cache.jt_y + mu * th * cache.jt_ones
 
-    def dual_scale(self, y):
-        """(IPM_tools.jl:8-22), default :max_dual mode."""
+    def dual_scale(self, y, s=None):
+        """(IPM_tools.jl:8-22), default :max_dual mode.
+
+        `s` (slacks of the same iterate) is only consumed by the
+        :primal_dual mode (IPM_tools.jl:17-18); other modes ignore it.
+        """
         mode = self.pars.term.dual_scale_mode
         thr = self.pars.term.dual_scale_threshold
         ninf = _norm_inf(y)
@@ -185,6 +189,10 @@ class OnePhaseKernel:
             return thr / jnp.maximum(jnp.sqrt(ninf), thr)
         if mode == "exact":
             return jnp.asarray(1.0, self.dtype)
+        if mode == "primal_dual":
+            if s is None:
+                raise ValueError("primal_dual dual scale needs slacks")
+            return thr / jnp.maximum(jnp.sqrt(ninf * _norm_inf(s)), thr)
         raise ValueError(f"dual_scale_mode {mode}")
 
     def comp(self, p: Point):
@@ -227,7 +235,7 @@ class OnePhaseKernel:
         return jnp.where(feas, val, jnp.inf)
 
     def scaled_dual_feas(self, p: Point, cache: Cache, mu):
-        return _norm_inf(self.grad_lag(cache, p.y, mu)) * self.dual_scale(p.y)
+        return _norm_inf(self.grad_lag(cache, p.y, mu)) * self.dual_scale(p.y, p.s)
 
     def kkt_err(self, p: Point, cache: Cache):
         """scaled_dual_feas + ||comp||_inf (eval.jl:274-277)."""
@@ -249,9 +257,16 @@ class OnePhaseKernel:
     # ==================================================================
     # linear algebra: factor + solve (reference: julia.jl:21-97 via CHOLMOD)
     # ==================================================================
-    def factor(self, Q, delta):
+    def factor(self, Q, delta, rescale=None):
         """Factor the KKT matrix with perturbation delta on the x-diagonal;
         returns ((L, D), inertia_ok).
+
+        `rescale` (clever-symmetric only): Q is the rescaled system R K R, so
+        the delta shift on the x-diagonal becomes delta * r^2 — factoring
+        R (K + delta E) R consistently.  (The reference instead writes the
+        UNSCALED diagonal + delta into the scaled matrix,
+        clever_symmetric.jl:505-517 — an inconsistency under :u_and_x; we
+        keep the scaling exact, see PARITY.md.)
 
         Schur path: Cholesky of Q + delta*I; inertia == Cholesky success
         (reference: julia.jl:28-46 — CHOLMOD PosDefException => wrong
@@ -269,9 +284,16 @@ class OnePhaseKernel:
         n, m = self.n, self.m
         if self.kkt_type in ("symmetric", "clever_symmetric"):
             mr = self.mr
-            shift = jnp.concatenate([delta * jnp.ones(n, Q.dtype),
-                                     jnp.zeros(mr, Q.dtype)])
+            rx2 = jnp.ones(n, Q.dtype) if rescale is None else rescale[:n] ** 2
+            shift = jnp.concatenate([delta * rx2, jnp.zeros(mr, Q.dtype)])
             Kd = Q + jnp.diag(shift)
+            if self.pars.kkt.linear_solver_type == "eigh":
+                # spectral backend: exact inertia from eigenvalue signs —
+                # the robust-alternative role of the reference's MA97
+                # (hsl.jl:28-51 inertia from info.num_neg)
+                V, w = ldlt_mod.eigh_inertia(Kd)
+                ok = ldlt_mod.inertia_status(w, n, mr)
+                return (V, w), ok
             L, d = ldlt_mod.ldlt(Kd)
             ok = ldlt_mod.inertia_status(d, n, mr)
             return (L, d), ok
@@ -317,6 +339,13 @@ class OnePhaseKernel:
             return L @ b  # L slot holds M = Q^-1
         z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    def sym_backsolve(self, fact: Factor, b):
+        """Backsolve for the symmetric/clever augmented system: LDL^T by
+        default, spectral (eigh) when linear_solver_type == "eigh"."""
+        if self.pars.kkt.linear_solver_type == "eigh":
+            return ldlt_mod.eigh_solve(fact.L, fact.D, b)
+        return ldlt_mod.ldlt_solve(fact.L, fact.D, b)
 
     # ==================================================================
     # KKT system (reference: schur.jl)
@@ -366,10 +395,27 @@ class OnePhaseKernel:
             J_root = Jcan[jnp.asarray(self.clever_roots)]
             K = jnp.block([[H, J_root.T],
                            [J_root, -jnp.diag(group_u)]])
+            # diagonal system rescaling (kkt_system_rescale, create_diag_
+            # rescale_*, clever_symmetric.jl:310-338): Q stores R K R
+            rmode = self.pars.kkt.kkt_system_rescale
+            if rmode == "none":
+                r = None
+            elif rmode == "u_only":
+                r = jnp.concatenate([jnp.ones(self.n, K.dtype),
+                                     p.mu / jnp.sqrt(group_u)])
+            elif rmode == "u_and_x":
+                r = jnp.concatenate(
+                    [jnp.ones(self.n, K.dtype)
+                     / jnp.sqrt(1.0 + _norm_inf(p.x)),
+                     p.mu / jnp.sqrt(group_u)])
+            else:
+                raise ValueError(f"kkt_system_rescale {rmode}")
+            if r is not None:
+                K = r[:, None] * K * r[None, :]
             schur_diag = jnp.diagonal(H) + nlp.jtdj_diag(Jc, p.y / p.s)
             return Factor(Jc=Jc, H=H, Q=K, schur_diag=schur_diag,
                           L=prev.L, D=prev.D, delta=prev.delta,
-                          s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
+                          s_f=p.s, y_f=p.y, ok=jnp.asarray(False), rescale=r)
         use_pallas = self.pars.kkt.linear_solver_type == "pallas"
         Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas)
         return Factor(Jc=Jc, H=H, Q=Q, schur_diag=jnp.diagonal(Q),
@@ -480,8 +526,15 @@ class OnePhaseKernel:
             rhs_red = jax.ops.segment_sum(g_row * sym_primal, seg,
                                           num_segments=self.mr)
             rhs_full = jnp.concatenate([dual_r, rhs_red])
+            # rescaled system (apply_rescale_to_rhs / unscale_directions,
+            # clever_symmetric.jl:432-443,460): solve (RKR + delta*RER) w =
+            # R rhs, then dir = R w
+            rx2 = (jnp.ones(self.n, rhs_full.dtype) if fact.rescale is None
+                   else fact.rescale[:self.n] ** 2)
+            if fact.rescale is not None:
+                rhs_full = rhs_full * fact.rescale
             shift = jnp.concatenate(
-                [jnp.full(self.n, fact.delta, rhs_full.dtype),
+                [fact.delta * rx2,
                  jnp.zeros(self.mr, rhs_full.dtype)])
 
             def k_mv(v):
@@ -490,8 +543,10 @@ class OnePhaseKernel:
             sol = jnp.zeros_like(rhs_full)
             res = rhs_full
             for _ in range(self.pars.kkt.it_refine_num):
-                sol = sol + ldlt_mod.ldlt_solve(fact.L, fact.D, res)
+                sol = sol + self.sym_backsolve(fact, res)
                 res = rhs_full - k_mv(sol)
+            if fact.rescale is not None:
+                sol = sol * fact.rescale
             dx = sol[:self.n]
             v = sol[self.n:]
             tmp = -(rhs_red + group_u * v)
@@ -512,7 +567,7 @@ class OnePhaseKernel:
             sol = jnp.zeros_like(rhs_full)
             res = rhs_full
             for _ in range(self.pars.kkt.it_refine_num):
-                sol = sol + ldlt_mod.ldlt_solve(fact.L, fact.D, res)
+                sol = sol + self.sym_backsolve(fact, res)
                 res = rhs_full - k_mv(sol)
             dx = sol[:self.n]
             dy = -sol[self.n:]
@@ -553,7 +608,8 @@ class OnePhaseKernel:
         try_zero = tau > 0.0
 
         def do_zero(_):
-            LD0, ok0 = self.factor(fact.Q, jnp.asarray(pars.delta.zero, dt))
+            LD0, ok0 = self.factor(fact.Q, jnp.asarray(pars.delta.zero, dt),
+                                   fact.rescale)
             return LD0, ok0, jnp.asarray(1, jnp.int32)
 
         def no_zero(_):
@@ -573,7 +629,7 @@ class OnePhaseKernel:
 
         def body(c):
             delta, LD, ok, nfac, i = c
-            LDc, okc = self.factor(fact.Q, delta)
+            LDc, okc = self.factor(fact.Q, delta, fact.rescale)
             # keep stale factor on failure (matches the Julia object semantics:
             # a thrown PosDefException leaves the previous factor in place)
             LD = jax.tree_util.tree_map(
@@ -638,11 +694,16 @@ class OnePhaseKernel:
 
     def _trial_tail(self, st, direction, be_agg, alpha, x_new, cons_new,
                     pull, a_new, beta_new, s_new, mu_new, nan_move, lb_y_vec,
-                    predict_red, zero_pt, zero_cache):
+                    predict_red):
         """Dual step + acceptance for one line-search trial whose slack
         fraction-to-boundary check already passed (called under lax.cond from
         line_search.trial; reference: line_search.jl:100-126 + move.jl:81-133
-        + the acceptance rules of stable/agg/filter_ls.jl)."""
+        + the acceptance rules of stable/agg/filter/kkt_ls.jl).
+
+        `predict_red` is the stabilization-mode predicted reduction: the
+        filter-LS form for ls_mode_stable in (accept_filter, accept_comp),
+        the merit_function_predicted_reduction form for accept_stable /
+        accept_kkt (see line_search)."""
         nlp = self.nlp
         pars = self.pars
         p, cache = st.p, st.cache
@@ -653,6 +714,10 @@ class OnePhaseKernel:
         lb, ub = self.dual_bounds(s_new, mu_new, p.y, direction.y)
         ub = jnp.minimum(ub, self.simple_max_step(p.y, direction.y, lb_y_vec))
         dual_ok = lb < ub
+        if not pars.ls.move_primal_seperate_to_dual:
+            # coupled primal/dual steps: the primal step size itself must lie
+            # in the dual-feasible interval (line_search.jl:100-104)
+            dual_ok = dual_ok & (lb <= alpha) & (alpha <= ub)
 
         # --- move_dual (move.jl:81-133), dual_ls default 1 -------
         g_new = nlp.grad_f(x_new, st.pdata)
@@ -670,7 +735,8 @@ class OnePhaseKernel:
         th = pars.a_norm_penalty
         dual_res = g_new - jt_y_old + mu_new * th * jt_ones_new
         comp_new_old_y = s_new * p.y - mu_new
-        scale = self.dual_scale(p.y)  # dual_scale of candidate (y unchanged yet)
+        # dual_scale of the candidate iterate: y unchanged yet, s already moved
+        scale = self.dual_scale(p.y, s_new)
         small_step = jnp.maximum(lb, jnp.minimum(ub, alpha))
         if pars.ls.dual_ls in (1, 3):
             # least-squares dual step (move.jl:100-117); dual_ls=3 adds
@@ -690,7 +756,7 @@ class OnePhaseKernel:
             initial_err = (jnp.max(jnp.abs(dual_res)) * scale + comp_term)
             y_big = p.y + ub * direction.y
             big_err = (jnp.max(jnp.abs(dual_res - ub * jt_dy))
-                       * self.dual_scale(y_big)
+                       * self.dual_scale(y_big, s_new)
                        + jnp.max(jnp.abs(s_new * y_big - mu_new)))
             take_big = big_err < initial_err * (1.0 - pars.ls.kkt_reduction_factor)
             alpha_D = jnp.where(take_big, ub, small_step)
@@ -708,35 +774,54 @@ class OnePhaseKernel:
         nan_any = nan_move | _isbad(g_new) | _isbad(fval_new)
 
         # --- acceptance ------------------------------------------
+        ls_mode = pars.ls.ls_mode_stable
         # stable part (accept_func_stable!, stable_ls.jl:34-64)
         actual_red = self.merit_diff(p, cache, cand_p, cand_c)
         frac = actual_red / (predict_red * alpha)
         stable_ok = ((predict_red < 0.0) & (actual_red <= 0.0)
                      & (frac > pars.ls.predict_reduction_factor))
-        # filter fallback (accept_func_kkt!, satisfies_filter! test2)
-        cand_merit = self.eval_merit(cand_p, cand_c)
-        cand_kkt = _norm_inf(self.grad_lag(cand_c, y_new, mu_new))
-        if pars.ls.kkt_include_comp:
-            cand_kkt = cand_kkt + _norm_inf(self.comp(cand_p))
-        cand_kkt = cand_kkt * self.dual_scale(y_new)
-        filt = st.filt
-        idx = jnp.arange(self.filt_cap)
-        live = idx < filt.count
-        kkt_red = cand_kkt / filt.kkt < (1.0 - pars.ls.kkt_reduction_factor * alpha)
-        fval_no_inc = cand_merit < filt.merit + jnp.sqrt(cand_kkt)
-        beta_dec = cand_p.beta < filt.beta
-        if pars.ls.filter_type == "test2":
-            entry_ok = beta_dec | (kkt_red & fval_no_inc)
-        elif pars.ls.filter_type == "default":
-            entry_ok = beta_dec | kkt_red
-        elif pars.ls.filter_type == "test1":
-            fval_red = cand_merit < filt.merit - cand_kkt ** 2
-            entry_ok = beta_dec | kkt_red | fval_red
-        else:  # test3
-            net = cand_kkt + cand_merit < filt.merit + filt.kkt - cand_kkt ** 2
-            entry_ok = beta_dec | net
-        filter_ok = jnp.all(entry_ok | ~live)
-        stb_accept = stable_ok | filter_ok
+        if ls_mode in ("accept_filter", "accept_kkt"):
+            # filter acceptance (accept_func_kkt!, satisfies_filter!)
+            cand_merit = self.eval_merit(cand_p, cand_c)
+            cand_kkt = _norm_inf(self.grad_lag(cand_c, y_new, mu_new))
+            if pars.ls.kkt_include_comp:
+                cand_kkt = cand_kkt + _norm_inf(self.comp(cand_p))
+            cand_kkt = cand_kkt * self.dual_scale(y_new, s_new)
+            filt = st.filt
+            idx = jnp.arange(self.filt_cap)
+            live = idx < filt.count
+            kkt_red = cand_kkt / filt.kkt < (1.0 - pars.ls.kkt_reduction_factor * alpha)
+            fval_no_inc = cand_merit < filt.merit + jnp.sqrt(cand_kkt)
+            beta_dec = cand_p.beta < filt.beta
+            if pars.ls.filter_type == "test2":
+                entry_ok = beta_dec | (kkt_red & fval_no_inc)
+            elif pars.ls.filter_type == "default":
+                entry_ok = beta_dec | kkt_red
+            elif pars.ls.filter_type == "test1":
+                fval_red = cand_merit < filt.merit - cand_kkt ** 2
+                entry_ok = beta_dec | kkt_red | fval_red
+            else:  # test3
+                net = cand_kkt + cand_merit < filt.merit + filt.kkt - cand_kkt ** 2
+                entry_ok = beta_dec | net
+            filter_ok = jnp.all(entry_ok | ~live)
+        if ls_mode == "accept_filter":
+            # stable-then-filter chain (accept_func!, filter_ls.jl:107-115)
+            stb_accept = stable_ok | filter_ok
+        elif ls_mode == "accept_stable":
+            # Armijo on predicted merit reduction only (stable_ls.jl:34-64)
+            stb_accept = stable_ok
+        elif ls_mode == "accept_kkt":
+            # filter-only acceptance (accept_func_kkt!, kkt_ls.jl:33-40)
+            stb_accept = filter_ok
+        elif ls_mode == "accept_comp":
+            # predicted-complementarity accuracy (basic_checks,
+            # line_search.jl:26-34): ||comp_predicted(alpha)||_inf < 50 mu
+            comp_pred = (p.s * p.y
+                         + alpha * (direction.y * p.s + direction.s * p.y)
+                         - mu_new)
+            stb_accept = _norm_inf(comp_pred) < 50.0 * p.mu
+        else:
+            raise ValueError(f"ls_mode_stable {ls_mode}")
 
         # aggressive acceptance (agg_ls.jl:36-48)
         sdf_cand = self.scaled_dual_feas(cand_p, cand_c, mu_new)
@@ -786,10 +871,37 @@ class OnePhaseKernel:
         jt_mus = nlp.jtprod(p.x, p.mu / p.s, st.pdata)
         grad_phi = cache.g - jt_mus + p.mu * pars.a_norm_penalty * cache.jt_ones
         gdx = jnp.dot(grad_phi, direction.x)
-        do_ls_stb = gdx < 0.0
+        ls_mode = pars.ls.ls_mode_stable
         comp_merit = _norm_inf(self.comp(p)) ** 3 / p.mu ** 2
-        predict_red = -comp_merit + 0.5 * (gdx - st.delta * jnp.sum(direction.x ** 2))
-        cur_merit = self.eval_merit(p, cache)
+        if ls_mode in ("accept_stable", "accept_kkt"):
+            # merit_function_predicted_reduction(iter, dir, 1.0)
+            # (eval.jl:236-273 + phi_predicted_reduction_primal_dual):
+            # gdx + 0.5 (dx^T H dx + sum (J dx)^2 y/s) + comp-penalty diff
+            jdx_c = nlp.jprod(p.x, direction.x, st.pdata)
+            j_gain = jnp.dot(jdx_c ** 2, p.y / p.s)
+            hdx = st.fact.H @ direction.x
+            phi_red = gdx + 0.5 * (jnp.dot(direction.x, hdx) + j_gain)
+            comp_pred1 = (p.s * p.y + direction.y * p.s + direction.s * p.y
+                          - (p.mu + direction.mu))
+            predict_red = phi_red + (_norm_inf(comp_pred1) ** 3
+                                     - _norm_inf(self.comp(p)) ** 3) / p.mu ** 2
+        else:
+            # filter-LS form (Class_filter_ls, filter_ls.jl:22-23)
+            predict_red = (-comp_merit
+                           + 0.5 * (gdx - st.delta * jnp.sum(direction.x ** 2)))
+        if ls_mode == "accept_filter":
+            do_ls_stb = gdx < 0.0          # sufficient_descent, filter_ls.jl:27
+        elif ls_mode == "accept_stable":
+            # NOTE the reference's Class_stable_ls sets do_ls =
+            # predict_red >= 0 (stable_ls.jl:21) while its acceptance needs
+            # predict_red < 0 — the combination can never accept.  We use the
+            # working sign (see PARITY.md).
+            do_ls_stb = predict_red < 0.0
+        else:
+            # accept_kkt / accept_comp: no descent precondition — the
+            # acceptance rule itself filters (kkt_ls.jl:18 sets do_ls from
+            # predict_red but never consumes it)
+            do_ls_stb = jnp.asarray(True)
 
         # aggressive (Class_agg_ls, agg_ls.jl:9-33)
         eta_probe = -direction.mu / p.mu
@@ -844,7 +956,7 @@ class OnePhaseKernel:
                 return self._trial_tail(
                     st, direction, be_agg, alpha, x_new, cons_new, pull,
                     a_new, beta_new, s_new, mu_new, nan_move, lb_y_vec,
-                    predict_red, zero_pt, zero_cache)
+                    predict_red)
 
             return lax.cond(s_ok, eval_trial, reject_slack, None)
 
@@ -960,7 +1072,7 @@ class OnePhaseKernel:
     # ==================================================================
     def terminate(self, p: Point, cache: Cache):
         pars = self.pars
-        scale = self.dual_scale(p.y)
+        scale = self.dual_scale(p.y, p.s)
         sdf0 = _norm_inf(cache.g - cache.jt_y) * scale
         comp_scaled = jnp.max(p.s * p.y) * scale
         max_vio = -jnp.minimum(0.0, jnp.min(cache.a))
@@ -993,7 +1105,7 @@ class OnePhaseKernel:
         kkt = _norm_inf(self.grad_lag(cache, p.y, p.mu))
         if pars.ls.kkt_include_comp:
             kkt = kkt + _norm_inf(self.comp(p))
-        kkt = kkt * self.dual_scale(p.y)
+        kkt = kkt * self.dual_scale(p.y, p.s)
         f = st.filt
         i = jnp.minimum(f.count, self.filt_cap - 1)
         return Filter(merit=f.merit.at[i].set(merit),
@@ -1064,7 +1176,8 @@ class OnePhaseKernel:
                                              jnp.maximum(pars.delta.start,
                                                          old_delta * pars.delta.dec))
                         nd = jnp.where(can_escalate, nd, delta)
-                        (Lc, Dc), okc = self.factor(st_c.fact.Q, nd)
+                        (Lc, Dc), okc = self.factor(st_c.fact.Q, nd,
+                                                    st_c.fact.rescale)
                         Lc = self.finalize_solver(Lc)
                         Lk = jax.tree_util.tree_map(
                             lambda new, old: jnp.where(okc, new, old),
@@ -1264,7 +1377,8 @@ class OnePhaseKernel:
             y_t = jnp.where(bad, jnp.ones(m, dt), y_t)
             s_t = a
             fact = self.form_factor(p0, cache0, empty_fact, pdata)
-            LD0, succ = self.factor(fact.Q, jnp.asarray(pars.delta.start, dt))
+            LD0, succ = self.factor(fact.Q, jnp.asarray(pars.delta.start, dt),
+                                    fact.rescale)
             fact = fact._replace(L=self.finalize_solver(LD0[0]), D=LD0[1],
                                  delta=jnp.asarray(pars.delta.start, dt),
                                  ok=succ)
@@ -1354,6 +1468,10 @@ class OnePhaseKernel:
         dt = self.dtype
         N = (n + self.mr if self.kkt_type in ("symmetric", "clever_symmetric")
              else n)
+        rescale = (jnp.ones(N, dt)
+                   if (self.kkt_type == "clever_symmetric"
+                       and self.pars.kkt.kkt_system_rescale != "none")
+                   else None)
         return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
                       H=jnp.zeros((n, n), dt), Q=jnp.zeros((N, N), dt),
                       schur_diag=jnp.zeros(n, dt),
@@ -1361,4 +1479,4 @@ class OnePhaseKernel:
                       D=jnp.ones(N, dt),
                       delta=jnp.asarray(0.0, dt),
                       s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),
-                      ok=jnp.asarray(False))
+                      ok=jnp.asarray(False), rescale=rescale)

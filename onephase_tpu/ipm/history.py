@@ -36,7 +36,7 @@ def record(kernel, st, step_type):
     comp_inf = jnp.max(jnp.abs(comp))
     grad_lag = kernel.grad_lag(cache, p.y, mu)
     gl_inf = jnp.max(jnp.abs(grad_lag))
-    scale = kernel.dual_scale(p.y)
+    scale = kernel.dual_scale(p.y, p.s)
     jt_y_1 = jnp.sum(jnp.abs(cache.jt_y))
     feas_obj = -jnp.sum(cache.a * p.y)
     fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj, jnp.inf)

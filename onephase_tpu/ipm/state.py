@@ -90,6 +90,11 @@ class Factor(NamedTuple):
     s_f: jnp.ndarray         # slacks at factor point
     y_f: jnp.ndarray         # duals at factor point
     ok: jnp.ndarray          # bool: factorization has correct inertia
+    # diagonal rescaling vector r of the clever-symmetric system — Q stores
+    # R K R with R = diag(r) (reference kkt_system_rescale :u_only/:u_and_x,
+    # clever_symmetric.jl:310-338,383-393).  None when rescaling is off or
+    # for the schur/symmetric paths (no pytree leaf).
+    rescale: jnp.ndarray = None
 
 
 class Dir(NamedTuple):

@@ -12,7 +12,8 @@ Two backends:
 - `ldlt`: right-looking unpivoted LDL^T as a `lax.fori_loop` of rank-1
   updates (O(n) sequential steps of vectorized O(n^2) work).
 - `eigh_inertia`: spectral factorization (XLA-native `eigh`) — exact
-  inertia, used as the robust fallback backend.
+  inertia; selected with `kkt.linear_solver_type = "eigh"` on the
+  symmetric/clever paths (the robust-alternative role of MA97, hsl.jl).
 """
 
 from __future__ import annotations

@@ -29,19 +29,14 @@ class BatchSolver:
 
     def __init__(self, nlp: CanonNLP, pars: Optional[Params] = None):
         pars = pars or Params()
-        # history is per-instance memory-heavy; keep one slot per iteration
-        # only if explicitly requested
-        if pars.history_capacity == 0:
-            pars = pars.with_overrides({"history_capacity": 2})
-        # Straggler control: under vmap every bounded inner loop runs
-        # max-over-batch iterations, so one stalling instance makes the whole
-        # batch replay the full delta-escalation retry loop (profiled at 82%
-        # of device time).  Capping in-iteration step attempts spreads the
-        # escalation across outer iterations (delta persists in the state) —
-        # measured 2.2x throughput with identical statuses AND iteration
-        # counts on the f64 parity zoo.  Explicit user overrides win.
-        if pars.max_step_attempts == 100:
-            pars = pars.with_overrides({"max_step_attempts": 4})
+        # batched-solver variants of history_capacity / max_step_attempts:
+        # explicit, documented parameters (see config.py) — no silent fork.
+        if pars.history_capacity == 0 and pars.batch_history_capacity > 0:
+            pars = pars.with_overrides(
+                {"history_capacity": pars.batch_history_capacity})
+        if pars.batch_max_step_attempts > 0:
+            pars = pars.with_overrides(
+                {"max_step_attempts": pars.batch_max_step_attempts})
         self.kernel = OnePhaseKernel(nlp, pars)
         self.pars = pars
         self._init_batch = jax.jit(jax.vmap(
@@ -75,9 +70,22 @@ class BatchSolver:
 
     def solve(self, x0s, bvals=None, pdata=None,
               max_chunks: int = 10_000) -> State:
+        """Run until every instance terminates, `max_chunks` chunks, or the
+        wall-clock limit `pars.term.max_time` (still-running instances are
+        marked MAX_TIME, matching the single-problem driver)."""
+        import time as _time
+
+        from ..ipm.state import MAX_TIME
+
+        t0 = _time.time()
         st = self.init(x0s, bvals, pdata)
         for _ in range(max_chunks):
             if not bool(jnp.any(st.status == RUNNING)):
+                break
+            if _time.time() - t0 > self.pars.term.max_time:
+                st = st._replace(status=jnp.where(
+                    st.status == RUNNING, MAX_TIME, st.status
+                ).astype(jnp.int32))
                 break
             st = self.run_chunk(st)
         return st

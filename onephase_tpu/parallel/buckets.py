@@ -60,6 +60,10 @@ class BucketResult:
     iterations: int
     max_violation: float
     name: str = ""
+    # final-iterate metrics from the last history row (the ring keeps the
+    # latest record even at batch_history_capacity=2)
+    dual_feas: float = float("nan")
+    comp: float = float("nan")
 
 
 def eliminate_fixed(d: LPData, tol: float = 0.0) -> Tuple[LPData, np.ndarray, np.ndarray]:
@@ -183,6 +187,12 @@ def solve_bucketed(problems: Dict[str, LPData],
             its = np.asarray(st.t) - 1
             a = np.asarray(st.cache.a)
             statuses = np.asarray(st.status)
+            # last history row per instance (final-iterate metrics)
+            from ..ipm.history import IDX
+            buf = np.asarray(st.hist.buf)          # (B, cap, NCOLS)
+            cnt = np.asarray(st.hist.count)
+            last = np.clip(cnt - 1, 0, buf.shape[1] - 1)
+            rows = buf[np.arange(buf.shape[0]), last]
             for bi, i in enumerate(chunk):
                 inst = insts[i]
                 x_full = np.array(inst.x_fixed)
@@ -192,5 +202,7 @@ def solve_bucketed(problems: Dict[str, LPData],
                     obj=float(objs[bi]),
                     x=x_full, iterations=int(its[bi]),
                     max_violation=float(max(0.0, -a[bi].min())),
-                    name=inst.name)
+                    name=inst.name,
+                    dual_feas=float(rows[bi, IDX["dual_scaled"]]),
+                    comp=float(rows[bi, IDX["comp"]]))
     return out

@@ -26,6 +26,20 @@ from .nlp import CanonNLP, NLPSpec, canonicalize
 from .utils.timer import Timer
 
 
+class EvalNaNError(RuntimeError):
+    """NaN/Inf escaped into the iterate (reference `Eval_NaN_error`,
+    src/utils/eval.jl:21-51).  Raised between jitted chunks when
+    `pars.throw_error_nans` is set; by default NaN is handled in-algorithm
+    (rejected trial steps / delta escalation) and never raises."""
+
+
+def _state_has_nan(st: State) -> bool:
+    for v in (st.p.x, st.p.s, st.p.y, st.p.mu, st.cache.fval, st.cache.g):
+        if not bool(jnp.all(jnp.isfinite(v))):
+            return True
+    return False
+
+
 @dataclass
 class Result:
     """Solve result (reference returns (iter, status, hist, t, err, timer))."""
@@ -62,9 +76,13 @@ def one_phase_solve(problem, pars: Optional[Params] = None,
     timer = Timer()
     with timer.span("INIT"):
         if kernel is None:
-            canon = problem if isinstance(problem, CanonNLP) else canonicalize(problem)
-            kernel = OnePhaseKernel(canon, pars)
-        st = kernel.initial_state()
+            with timer.span("canonicalize"):
+                canon = (problem if isinstance(problem, CanonNLP)
+                         else canonicalize(problem))
+            with timer.span("build_kernel"):
+                kernel = OnePhaseKernel(canon, pars)
+        with timer.span("initial_state"):
+            st = kernel.initial_state()
 
     printed = 0
     if pars.output_level >= 1:
@@ -73,11 +91,20 @@ def one_phase_solve(problem, pars: Optional[Params] = None,
     t_start = time.time()
     status = int(st.status)
     with timer.span("IPM"):
+        first_chunk = True
         while status == RUNNING:
-            st = kernel.run_chunk(st)
-            status = int(st.status)
-            printed = _print_progress(kernel, st, printed, pars,
-                                      final=status != RUNNING)
+            # the first chunk includes the jit compile; time it separately
+            # so campaign timer stats split compile from steady-state
+            with timer.span("chunk_compile" if first_chunk else "chunk"):
+                st = kernel.run_chunk(st)
+                status = int(st.status)  # blocks on device completion
+            first_chunk = False
+            with timer.span("progress"):
+                printed = _print_progress(kernel, st, printed, pars,
+                                          final=status != RUNNING)
+            if pars.throw_error_nans and _state_has_nan(st):
+                raise EvalNaNError(
+                    f"NaN in iterate at outer iteration {int(st.t)}")
             if status == RUNNING and time.time() - t_start > pars.term.max_time:
                 st = st._replace(status=jnp.asarray(MAX_TIME, jnp.int32))
                 status = MAX_TIME
@@ -86,7 +113,13 @@ def one_phase_solve(problem, pars: Optional[Params] = None,
     if pars.output_level >= 1:
         print(f"Terminated with {STATUS_NAMES[status]}")
 
-    return finalize_result(kernel, st, time.time() - t_start, timer)
+    with timer.span("FINALIZE"):
+        res = finalize_result(kernel, st, time.time() - t_start, timer)
+    if pars.output_level >= 3:
+        # reference prints timer stats at output_level >= 3
+        # (one_phase.jl:51-53 print_timer_stats)
+        timer.print_stats()
+    return res
 
 
 def finalize_result(kernel: OnePhaseKernel, st: State, wall: float,
