@@ -94,6 +94,62 @@ def scipy_baseline_solve(problem, pars: Optional[Params] = None,
         solve_time=wall)
 
 
+def scipy_linprog_solve(problem, pars: Optional[Params] = None,
+                        options=None) -> Result:
+    """LP baseline lane: scipy.optimize.linprog (HiGHS dual simplex/IPM).
+
+    The closest in-image stand-in for the reference's Ipopt lane on the
+    Netlib LP campaigns (run_netlib.jl): an industrial solver with robust
+    infeasibility detection.  Accepts `models.lp.LPData` (matrix form)."""
+    import time
+
+    from scipy.optimize import linprog
+
+    from .models.lp import LPData
+
+    pars = pars or Params()
+    if options:
+        pars = pars.with_overrides(options)
+    assert isinstance(problem, LPData), "linprog lane needs LPData"
+    d = problem
+    m, n = d.A.shape
+    is_eq = np.isfinite(d.lcon) & np.isfinite(d.ucon) & (d.lcon == d.ucon)
+    A_eq = d.A[is_eq] if is_eq.any() else None
+    b_eq = d.lcon[is_eq] if is_eq.any() else None
+    ub_rows = ~is_eq & np.isfinite(d.ucon)
+    lb_rows = ~is_eq & np.isfinite(d.lcon)
+    A_ub = np.vstack([d.A[ub_rows], -d.A[lb_rows]])
+    b_ub = np.concatenate([d.ucon[ub_rows], -d.lcon[lb_rows]])
+    if A_ub.shape[0] == 0:
+        A_ub, b_ub = None, None
+    bounds = list(zip(
+        [b if np.isfinite(b) else None for b in d.lvar],
+        [b if np.isfinite(b) else None for b in d.uvar]))
+
+    t0 = time.time()
+    res = linprog(d.cvec, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
+                  bounds=bounds, method="highs",
+                  options={"maxiter": pars.term.max_it})
+    wall = time.time() - t0
+    # highs status: 0 optimal, 1 iteration limit, 2 infeasible, 3 unbounded
+    code = {0: OPTIMAL, 1: MAX_IT, 2: PRIMAL_INFEASIBLE,
+            3: DUAL_INFEASIBLE}.get(res.status, MAX_IT)
+    x = np.asarray(res.x) if res.x is not None else np.full(n, np.nan)
+    ax = d.A @ x if res.x is not None else np.full(m, np.nan)
+    vio = 0.0
+    if res.x is not None:
+        vio = float(max(0.0,
+                        np.max(np.maximum(d.lcon - ax, ax - d.ucon),
+                               initial=0.0)))
+    nit = int(getattr(res, "nit", 0) or 0)
+    return Result(
+        status=STATUS_NAMES[code], status_code=code, x=x,
+        obj=float(res.fun) if res.fun is not None else float("nan"),
+        iterations=nit, history=[], y=np.zeros(m),
+        constr_duals=np.zeros(m), reduced_costs=np.zeros(n), mu=0.0,
+        max_violation=vio, solve_time=wall)
+
+
 def performance_profile(summaries: dict, metric: str = "it_count",
                         ratio_max: float = 1e4):
     """Dolan-Moré performance profile data (reference: benchmark/plots.jl).

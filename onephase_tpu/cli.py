@@ -18,7 +18,7 @@ def build_parser():
                                 description="TPU-native one-phase IPM solver")
     p.add_argument("--problem-set", default="zoo",
                    choices=["zoo", "netlib_feasible", "netlib_infeasible",
-                            "econ", "examples", "mps"],
+                            "lpi", "econ", "examples", "mps"],
                    help="which problem family to run")
     p.add_argument("--mps-dir", default=None,
                    help="directory of MPS files (for --problem-set mps)")
@@ -60,6 +60,9 @@ def get_problems(args):
     if args.problem_set == "netlib_infeasible":
         from .models import netlib
         return netlib.infeasible_suite()
+    if args.problem_set == "lpi":
+        from .models import netlib
+        return netlib.lpi_suite(max_n=getattr(args, "max_n", 1500))
     if args.problem_set == "econ":
         from .models.tax import tax1d
         return {f"ECON{na}": tax1d(na=na) for na in (10, 25, 50)}

@@ -122,7 +122,9 @@ class InitParams:
     mehotra_scaling: bool = True
     init_style: str = "gertz"          # gertz | mehrotra
     start_satisfying_bounds: bool = True
-    dual_threshold: float = 1.0
+    # (the reference's init.dual_threshold is only read by its non-default
+    # correct_guess variants, correct-guess.jl:69; the :gertz path ported
+    # here uses correct_guess3 — knob intentionally not carried, PARITY.md)
     linear_scale: float = 1.0
     nl_ineq_scale: float = 1.0
     nl_eq_scale: float = 1.0
@@ -159,7 +161,8 @@ class Params:
     agg_protection_factor: float = 0.9
     kkt_include_comp: bool = True
     a_norm_penalty: float = 1e-4
-    eps_mach: float = 1e-16
+    # (the reference defines eps_mach=1e-16 but never reads it,
+    # parameters.jl:240,278 — knob intentionally not carried, PARITY.md)
 
     # TPU-build additions (no reference counterpart):
     # number of outer iterations executed per jitted chunk (wall-clock /

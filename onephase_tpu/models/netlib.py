@@ -24,7 +24,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..nlp import NLPSpec
-from .lp import lp_spec, perturb_infeasible, read_mps
+from .lp import LPData, lp_spec, perturb_infeasible, read_mps
 
 INF = np.inf
 
@@ -63,6 +63,106 @@ def feasible_suite(sizes=((27, 32), (56, 97), (50, 48)),
         out[names[k]] = lp_spec(cvec, A, lcon, ucon,
                                 lvar=np.zeros(n), uvar=np.full(n, 10.0),
                                 x0=np.full(n, 0.5), name=names[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The Netlib infeasible set (netlib.org/lp/infeas): 28 lpi_* problems solved
+# by the reference (benchmark-tables/table_netlib_infeasible_one-phase.csv).
+# The actual MPS files cannot ship in this repo (no redistribution, no
+# network egress at build time), so `lpi_suite()` generates DIMENSION-MATCHED
+# synthetic stand-ins: each problem has the published (rows, cols) of its
+# namesake and an infeasibility mechanism matching the set's failure modes
+# (empty polytope from range shifts against bounds, inconsistent equalities,
+# sign conflicts, parallel-row interval conflicts).  Real instances dropped
+# into --mps-dir take precedence for true parity runs.
+#
+# (rows, cols) from the netlib infeas index; mechanism cycles deterministically.
+LPI_DIMS = {
+    "lpi_bgdbg1": (349, 407), "lpi_bgetam": (401, 688),
+    "lpi_bgindy": (2672, 10116), "lpi_bgprtr": (21, 34),
+    "lpi_box1": (232, 261), "lpi_ceria3d": (3577, 824),
+    "lpi_chemcom": (289, 720), "lpi_cplex1": (3006, 3221),
+    "lpi_ex72a": (198, 215), "lpi_ex73a": (194, 211),
+    "lpi_forest6": (67, 95), "lpi_galenet": (9, 8),
+    "lpi_gosh": (3793, 10733), "lpi_gran": (2569, 2520),
+    "lpi_greenbea": (2505, 5405), "lpi_itest2": (10, 4),
+    "lpi_itest6": (12, 8), "lpi_klein1": (55, 54),
+    "lpi_klein2": (478, 54), "lpi_klein3": (995, 88),
+    "lpi_mondou2": (313, 604), "lpi_pang": (362, 460),
+    "lpi_pilot4i": (411, 1000), "lpi_qual": (324, 464),
+    "lpi_reactor": (319, 637), "lpi_refinery": (324, 464),
+    "lpi_vol1": (324, 464), "lpi_woodinfe": (36, 89),
+}
+
+_MECHANISMS = ("range_shift", "eq_conflict", "sign_conflict",
+               "interval_conflict")
+
+
+def _lpi_instance(name: str, m: int, n: int, mech: str, seed: int) -> NLPSpec:
+    """One dimension-matched infeasible LP.
+
+    Base: random sparse-ish LP with a known interior feasible point
+    (x in (0, 10)^n, every 4th row equality), then broken by `mech`.
+    """
+    rng = _rng(seed)
+    density = min(1.0, max(0.02, 8.0 / n))      # ~8 nonzeros/row like Netlib
+    A = rng.normal(size=(m, n)) * (rng.random((m, n)) < density)
+    A[np.all(A == 0.0, axis=1), rng.integers(0, n)] = 1.0
+    x_feas = 1.0 + 4.0 * rng.random(n)
+    b = A @ x_feas
+    is_eq = np.arange(m) % 4 == 0
+    lcon = np.where(is_eq, b, b - 2.0)
+    ucon = np.where(is_eq, b, b + 2.0)
+    lvar = np.zeros(n)
+    uvar = np.full(n, 10.0)
+
+    if mech == "range_shift":
+        # reference infeas.jl mechanism: shift ranges until they conflict
+        # with the bounds (rows demand A x well away from the box image)
+        span = np.abs(A) @ uvar
+        shift = span + 1.0
+        lcon = lcon - shift
+        ucon = ucon - shift
+        # keep it nontrivial: only shift inequality rows; equalities anchor
+        lcon = np.where(is_eq, b, lcon)
+        ucon = np.where(is_eq, b, ucon)
+        # a certificate exists through any single shifted row + bounds
+    elif mech == "eq_conflict":
+        # inconsistent equalities: duplicate row 1 into row 2 w/ other rhs
+        A[1] = A[0]
+        lcon[0] = ucon[0] = b[0]
+        lcon[1] = ucon[1] = b[0] + 7.0
+    elif mech == "sign_conflict":
+        # nonnegative row over nonnegative vars required <= -1 (empty)
+        A[0] = np.abs(A[0]) + (A[0] == 0.0) * 0.1
+        lcon[0], ucon[0] = -INF, -1.0
+    else:  # interval_conflict
+        # parallel rows with disjoint intervals: row0 <= t, 2*row0 >= 2t+6
+        A[1] = 2.0 * A[0]
+        t = b[0]
+        lcon[0], ucon[0] = -INF, t
+        lcon[1], ucon[1] = 2.0 * t + 6.0, INF
+    x0 = np.full(n, 5.0)
+    return LPData(cvec=rng.normal(size=n), A=A, lcon=lcon, ucon=ucon,
+                  lvar=lvar, uvar=uvar, x0=x0, name=name)
+
+
+def lpi_suite(max_n: int | None = None, seed: int = 7,
+              as_data: bool = False) -> Dict[str, NLPSpec]:
+    """Dimension-matched stand-ins for the 28 Netlib lpi_* problems.
+
+    `max_n` drops instances with more than max_n columns (the dense solve
+    path scales as n^3 per factorization; the >5k-column members are TPU
+    territory).  `as_data=True` returns raw LPData (for the bucketed batch
+    driver and matrix-consuming baselines) instead of NLPSpec."""
+    out = {}
+    for i, (name, (m, n)) in enumerate(sorted(LPI_DIMS.items())):
+        if max_n is not None and n > max_n:
+            continue
+        mech = _MECHANISMS[i % len(_MECHANISMS)]
+        data = _lpi_instance(name, m, n, mech, seed + i)
+        out[name] = data if as_data else data.to_spec()
     return out
 
 

@@ -105,6 +105,14 @@ def one_phase_solve(problem, pars: Optional[Params] = None,
             if pars.throw_error_nans and _state_has_nan(st):
                 raise EvalNaNError(
                     f"NaN in iterate at outer iteration {int(st.t)}")
+            if pars.debug_mode >= 1 and status == RUNNING:
+                # interior-invariant cross-check between chunks (the
+                # reference's debug_mode re-evaluation, line_search.jl:133,
+                # + the per-iteration assert at one_phase.jl:172)
+                if not bool(kernel.is_feasible(st.p, pars.ls.comp_feas)):
+                    raise AssertionError(
+                        f"interior invariant violated at outer iteration "
+                        f"{int(st.t)} (debug_mode check)")
             if status == RUNNING and time.time() - t_start > pars.term.max_time:
                 st = st._replace(status=jnp.asarray(MAX_TIME, jnp.int32))
                 status = MAX_TIME

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Size x batch throughput sweep of the batched one-phase IPM on one chip,
+with FLOP/MFU accounting.
+
+Reference framing: the one-phase paper's cost profile (docs/one-phase.tex:
+901-931) — Schur formation 42.1% + factorization 35.4% dominate — so the
+sweep measures the full jitted IPM (formation + factorization + direction
+solve + line search), not an isolated kernel, on random strictly-convex
+QPs (bench.make_qp).
+
+Per (n, batch) config we report:
+  - fac/s          KKT factorizations per second (BASELINE.json metric)
+  - iter/s         outer iterations per second (sum over batch)
+  - model GFLOP/s  achieved, from a per-iteration dense-path FLOP model:
+       Q form   2 m_c n^2   (J^T diag J, canonical rows m_c)
+       factor   n^3/3 per factorization
+       solves   ~ n_solve * 2 n^2  (refined backsolves, ls trials)
+       probes   J/H products ~ 8 m_c n
+  - MFU           model GFLOP/s vs assumed peak (f32-on-MXU).
+
+Writes results/bench_sweep.json + a markdown table, prints progress lines.
+
+Run (TPU):   python scripts/bench_sweep.py
+Run (CPU):   python scripts/bench_sweep.py --platform cpu --sizes 128,256
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# v5e: 197 TFLOP/s bf16; f32 matmuls on the MXU run at ~1/4 of bf16.
+PEAK_F32 = 49.2e12
+PEAK_BF16 = 197e12
+
+
+def flops_per_outer_iter(n, m_canon, n_fac_per_iter, n_solves=14):
+    """Dense-path FLOP model for one outer iteration of one instance."""
+    q_form = 2.0 * m_canon * n * n            # J^T D J (fused, MXU)
+    factor = n_fac_per_iter * (n ** 3) / 3.0  # Cholesky(s)
+    solves = n_solves * 2.0 * n * n           # backsolves + refinement
+    return q_form + factor + solves
+
+
+def run_config(n, m, batch, pars_over, dtype):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_qp
+    from onephase_tpu.config import Params
+    from onephase_tpu.nlp import canonicalize
+    from onephase_tpu.parallel.batch import BatchSolver
+
+    pars = Params().with_overrides({
+        "output_level": 0,
+        "term.max_it": 60,
+        "term.tol_opt": 1e-4,
+        "chunk_size": 20,
+        "history_capacity": 2,
+        "kkt.it_refine_highprec": True,
+        **pars_over,
+    })
+    nlp = canonicalize(make_qp(n, m), dtype=dtype)
+    solver = BatchSolver(nlp, pars)
+    rng = np.random.default_rng(1)
+    x0s = rng.normal(size=(batch, nlp.n)) * 0.1
+
+    t0 = time.perf_counter()
+    st = solver.init(x0s)
+    st = solver.run_chunk(st)
+    jax.block_until_ready(st)
+    compile_s = time.perf_counter() - t0
+
+    st = solver.init(x0s)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    n_chunks = 3
+    for _ in range(n_chunks):
+        st = solver.run_chunk(st)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+
+    total_fac = int(jnp.sum(st.cum_fac))
+    total_outer = int(jnp.sum(jnp.minimum(st.t - 1, 60)))
+    m_canon = nlp.m  # canonical rows incl. bound rows
+    fac_per_iter = total_fac / max(1, total_outer)
+    model_flop = total_outer * flops_per_outer_iter(n, m_canon, fac_per_iter)
+    return {
+        "n": n, "m": m, "batch": batch, "m_canon": int(m_canon),
+        "time_s": round(dt, 3), "compile_s": round(compile_s, 1),
+        "total_fac": total_fac, "total_outer": total_outer,
+        "fac_per_s": round(total_fac / dt, 1),
+        "iter_per_s": round(total_outer / dt, 1),
+        "model_gflop_per_s": round(model_flop / dt / 1e9, 1),
+        "mfu_f32_pct": round(100.0 * model_flop / dt / PEAK_F32, 2),
+        "mfu_bf16_pct": round(100.0 * model_flop / dt / PEAK_BF16, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="256,512,1024,2048")
+    ap.add_argument("--batches", default="16,64,256")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--lst", default="invchol",
+                    help="kkt.linear_solver_type")
+    ap.add_argument("--out", default="results/bench_sweep.json")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    dtype = jnp.float32
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    batches = [int(b) for b in args.batches.split(",")]
+    dev = jax.devices()[0]
+    rows = []
+    for n in sizes:
+        for batch in batches:
+            # HBM guard: batch copies of Q (n^2) + J (m_c x n); skip > ~12GB
+            m = n // 2
+            m_canon_est = m + 2 * n
+            bytes_est = batch * (3 * n * n + 2 * m_canon_est * n) * 4
+            if bytes_est > 12e9:
+                rows.append({"n": n, "batch": batch, "skipped": "memory"})
+                print(f"n={n} batch={batch}: skipped (est {bytes_est/1e9:.1f} GB)",
+                      flush=True)
+                continue
+            try:
+                r = run_config(n, m, batch,
+                               {"kkt.linear_solver_type": args.lst}, dtype)
+            except Exception as e:  # noqa: BLE001
+                rows.append({"n": n, "batch": batch,
+                             "error": str(e).split("\n")[0][:200]})
+                print(f"n={n} batch={batch}: ERROR {e}", flush=True)
+                continue
+            rows.append(r)
+            print(f"n={n} batch={batch}: {r['fac_per_s']} fac/s, "
+                  f"{r['model_gflop_per_s']} GFLOP/s, "
+                  f"MFU(f32) {r['mfu_f32_pct']}% (compile {r['compile_s']}s)",
+                  flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    payload = {"device": str(dev), "linear_solver_type": args.lst,
+               "dtype": "float32", "tol_opt": 1e-4, "max_it": 60,
+               "peak_f32": PEAK_F32, "peak_bf16": PEAK_BF16, "rows": rows}
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    md = args.out.replace(".json", ".md")
+    with open(md, "w") as fh:
+        fh.write(f"# Bench sweep — {dev}, {args.lst}, f32, tol 1e-4\n\n")
+        fh.write("| n | batch | fac/s | iter/s | GFLOP/s | MFU f32 % | MFU bf16 % | time s |\n")
+        fh.write("|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            if "fac_per_s" in r:
+                fh.write(f"| {r['n']} | {r['batch']} | {r['fac_per_s']} | "
+                         f"{r['iter_per_s']} | {r['model_gflop_per_s']} | "
+                         f"{r['mfu_f32_pct']} | {r['mfu_bf16_pct']} | "
+                         f"{r['time_s']} |\n")
+            else:
+                fh.write(f"| {r['n']} | {r['batch']} | — | — | — | — | — | "
+                         f"{r.get('skipped') or r.get('error')} |\n")
+    print(f"wrote {args.out} and {md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -229,3 +229,37 @@ def test_double_single_matvec():
     assert err_ds < err_f32 / 50.0      # at least ~1.7 digits better
     s, e = dsr.two_sum(jnp.float32(1.0), jnp.float32(1e-9))
     assert float(s) == 1.0 and abs(float(e) - 1e-9) < 1e-12
+
+
+def test_pallas_fused_q_tri_parity_interpret():
+    """Triangle-tiled fused-Q kernel matches xla_fused_q (ADVICE r1: the
+    kernel previously had zero coverage)."""
+    from onephase_tpu.ops.schur import pallas_fused_q_tri, xla_fused_q
+    rng = np.random.default_rng(11)
+    for m, n in ((40, 30), (300, 150)):   # single-tile and multi-tile grids
+        Jc = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        w = jnp.asarray(np.abs(rng.normal(size=m)).astype(np.float32) + 0.1)
+        H = rng.normal(size=(n, n)).astype(np.float32)
+        H = jnp.asarray(H + H.T)
+        bnd = jnp.asarray(np.abs(rng.normal(size=n)).astype(np.float32))
+        want = np.asarray(xla_fused_q(Jc, w, H, bnd), np.float64)
+        got = np.asarray(pallas_fused_q_tri(Jc, w, H, bnd, interpret=True),
+                         np.float64)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+
+
+def test_it_refine_adaptive_direction_parity():
+    """Adaptive refinement produces the same solve as the fixed-count loop
+    on well-conditioned toy LPs (ADVICE r1: no coverage; also documents that
+    the adaptive while_loop path is not reverse-differentiable)."""
+    from onephase_tpu import one_phase_solve
+    from onephase_tpu.models import zoo
+    base = {"output_level": 0, "term!max_it": 81}
+    for prob in (zoo.toy_lp1(), zoo.circle1()):
+        r_fix = one_phase_solve(prob, options=base)
+        r_ada = one_phase_solve(prob, options={
+            **base, "kkt!it_refine_adaptive": True})
+        assert r_ada.status == r_fix.status == "Optimal"
+        assert r_ada.iterations == r_fix.iterations
+        np.testing.assert_allclose(r_ada.x, r_fix.x, atol=1e-9)
