@@ -74,6 +74,18 @@ class LineSearchParams:
     #                    Class_comp_ls is undefined — see PARITY.md)
     # Aggressive steps always use :accept_aggressive (take_step.jl:58).
     ls_mode_stable: str = "accept_filter"
+    # f32-endgame precision guard (no reference counterpart — the reference
+    # is f64 where merit reductions stay resolvable).  Near convergence the
+    # true merit reduction ~ alpha*mu^2 drops below the floating-point
+    # resolution eps*|merit| of the merit itself (at f32, eps ~ 1.2e-7, so
+    # any tol < ~3e-4 run stalls: every trial "fails", delta escalates to
+    # delta.max).  When the predicted reduction is below that noise floor,
+    # acceptance falls back to the still-resolvable criteria: scaled KKT
+    # error not increasing + interior invariant.  "auto" enables it for
+    # f32/bf16 solves only (f64 behavior byte-identical to the reference),
+    # "on"/"off" force it.
+    precision_guard: str = "auto"
+    precision_guard_factor: float = 16.0
     # when False, additionally require the primal step size to lie inside
     # the dual-feasible interval [lb, ub] (line_search.jl:100-104)
     move_primal_seperate_to_dual: bool = True

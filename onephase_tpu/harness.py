@@ -196,13 +196,18 @@ def compare_to_reference(summary: Dict[str, ProblemSummary],
     with open(reference_csv) as fh:
         for row in csv.DictReader(fh):
             ref[row["name"].lower()] = row
+    def _norm(s):
+        # the reference tables mix Julia symbols (":Optimal") and plain
+        # strings ("primal_infeasible")
+        return s.lstrip(":").lower()
+
     report = {}
     for name, rec in summary.items():
         r = ref.get(name.lower())
         if r is None:
             continue
         report[name] = {
-            "status_match": rec.status == r["status"],
+            "status_match": _norm(rec.status) == _norm(r["status"]),
             "ours_it": rec.it_count, "ref_it": int(r["it"]),
             "ours_status": rec.status, "ref_status": r["status"],
         }

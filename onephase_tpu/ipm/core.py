@@ -823,6 +823,26 @@ class OnePhaseKernel:
         else:
             raise ValueError(f"ls_mode_stable {ls_mode}")
 
+        # f32-endgame precision guard (config.py ls.precision_guard): when
+        # the predicted merit reduction is below the dtype's merit
+        # resolution, the Armijo/filter comparisons are pure rounding noise
+        # — accept instead on non-increase of the scaled KKT error (grad_lag
+        # differences stay resolvable; merit differences do not).
+        pg = pars.ls.precision_guard
+        if pg == "on" or (pg == "auto" and self.dtype != jnp.float64):
+            eps_dt = jnp.asarray(jnp.finfo(self.dtype).eps, self.dtype)
+            cur_merit_pg = self.eval_merit(p, cache)
+            noise = (pars.ls.precision_guard_factor * eps_dt
+                     * (1.0 + jnp.abs(cur_merit_pg)))
+            below_noise = jnp.abs(predict_red) * alpha < noise
+            kkt_cur = _norm_inf(self.grad_lag(cache, p.y, p.mu))
+            kkt_cand_pg = _norm_inf(self.grad_lag(cand_c, y_new, mu_new))
+            if pars.ls.kkt_include_comp:
+                kkt_cur = kkt_cur + _norm_inf(self.comp(p))
+                kkt_cand_pg = kkt_cand_pg + _norm_inf(self.comp(cand_p))
+            guard_ok = below_noise & (kkt_cand_pg <= kkt_cur * (1.0 + 1e-3))
+            stb_accept = stb_accept | guard_ok
+
         # aggressive acceptance (agg_ls.jl:36-48)
         sdf_cand = self.scaled_dual_feas(cand_p, cand_c, mu_new)
         apf = pars.agg_protection_factor

@@ -333,22 +333,25 @@ def _bT(a):
     return jnp.swapaxes(a, 1, 2)
 
 
-def _batched_chol_kernel(a_ref, l_ref, d_ref):
+def _batched_chol_kernel(a_ref, l_ref):
     n = a_ref.shape[1]
-    bc = a_ref.shape[0]
     bs = min(BS, n)
     nb = n // bs
     l_ref[:] = a_ref[:]
-    # d_ref holds the FULL (b, n) array (small); each grid step writes its
-    # batch-chunk rows — a (bc, n) block would violate the sublane-divisible
-    # -by-8 rule when bc is small (large n).
-    g0 = pl.program_id(0) * bc
+    # The signed pivots ride in l_ref's DIAGONAL (d_j = sign*sqrt|pivot_j|):
+    # a separate (b, n) output would need a dynamic batch-offset store that
+    # Mosaic rejects when the VMEM batch chunk bc < 8 ("index in dimension 0
+    # must be a multiple of 8"), and a (bc, n) block violates the
+    # sublane-divisible-by-8 rule at small bc.  The caller extracts d from
+    # the diagonal and restores |d| in XLA.
+    rowb = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 1)
+    colb = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 2)
 
     for kb in range(nb):
         o = kb * bs
         Lkk, dsg = _batched_unblocked_chol(l_ref[:, o:o + bs, o:o + bs])
-        l_ref[:, o:o + bs, o:o + bs] = Lkk
-        d_ref[pl.ds(g0, bc), o:o + bs] = dsg
+        l_ref[:, o:o + bs, o:o + bs] = jnp.where(
+            rowb == colb, dsg[:, None, :], Lkk)
         if kb < nb - 1:
             Ikk = _batched_tri_inv_unblocked(Lkk)
             L21 = _bmm(l_ref[:, o + bs:, o:o + bs], _bT(Ikk))
@@ -388,12 +391,34 @@ def _batched_tri_inv_gram_kernel(l_ref, m_ref, li_ref):
 
 
 def _batch_chunk(b, n, n_bufs):
+    """Instances per grid program: as many as VMEM holds.
+
+    The factorization's ~n sequential steps are latency-bound, so the win
+    comes from amortizing each step over the largest possible instance
+    chunk — a 4 MB chunk (bc=8 at n=256) measured SLOWER than XLA's batched
+    cholesky on v5e; a ~96 MB chunk makes each VPU/MXU step 8-16x wider for
+    the same step count.  bc is kept a multiple of 8 (sublane rule) when
+    possible; the wrappers pad b up to a multiple of bc.
+    """
     per = n * n * 4 * n_bufs
-    bc = max(1, (4 * 1024 * 1024) // per)
-    bc = min(bc, b, 64)
-    while b % bc:
-        bc -= 1
+    # ~40 MB of VMEM for the block working set: Pallas double-buffers the
+    # in/out blocks for pipelining, so the effective footprint is ~2x this
+    # (v5e VMEM = 128 MB; a 96 MB budget OOMed the Mosaic compile).
+    bc = max(1, (40 * 1024 * 1024) // per)
+    bc = min(bc, b, 256)
+    if bc > 8:
+        bc -= bc % 8
     return bc
+
+
+def _pad_batch(Qp, bc):
+    """Pad the batch dim up to a multiple of bc with identity matrices."""
+    b, n_p = Qp.shape[0], Qp.shape[1]
+    b_p = _round_up(b, bc)
+    if b_p == b:
+        return Qp, b
+    pad = jnp.broadcast_to(jnp.eye(n_p, dtype=Qp.dtype), (b_p - b, n_p, n_p))
+    return jnp.concatenate([Qp, pad], axis=0), b
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -415,25 +440,30 @@ def pallas_chol_batched(Q, interpret: bool = None):
     else:
         Qp = Q
     bc = _batch_chunk(b, n_p, 2)
-    L, d = pl.pallas_call(
+    Qp, b_real = _pad_batch(Qp, bc)
+    b = Qp.shape[0]
+    L = pl.pallas_call(
         _batched_chol_kernel,
         grid=(b // bc,),
         in_specs=[pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((b, n_p), lambda g: (0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, n_p, n_p), Q.dtype),
-                   jax.ShapeDtypeStruct((b, n_p), Q.dtype)),
+        out_specs=pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_p, n_p), Q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * n_p ** 3 // 3, transcendentals=b * n_p,
             bytes_accessed=2 * b * n_p * n_p * Q.dtype.itemsize),
     )(Qp)
-    d = d[:, :n]
-    ok = jnp.all(d > 0, axis=-1)
-    return L[:, :n, :n], jnp.abs(d), ok
+    # signed pivots ride in the diagonal (see _batched_chol_kernel)
+    L = L[:b_real]
+    dsg = jnp.diagonal(L, axis1=1, axis2=2)[:, :n]
+    ok = jnp.all(dsg > 0, axis=-1)
+    d = jnp.abs(dsg)
+    L = L[:, :n, :n]
+    idx = jnp.arange(n)
+    L = L.at[:, idx, idx].set(d)
+    return L, d, ok
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -452,6 +482,8 @@ def pallas_tri_inv_gram_batched(L, interpret: bool = None):
     else:
         Lp = L
     bc = _batch_chunk(b, n_p, 3)
+    Lp, b_real = _pad_batch(Lp, bc)
+    b = Lp.shape[0]
     M = pl.pallas_call(
         _batched_tri_inv_gram_kernel,
         grid=(b // bc,),
@@ -466,7 +498,7 @@ def pallas_tri_inv_gram_batched(L, interpret: bool = None):
             flops=b * (n_p ** 3 // 3 + 2 * n_p ** 3), transcendentals=0,
             bytes_accessed=3 * b * n_p * n_p * L.dtype.itemsize),
     )(Lp)
-    return M[:, :n, :n]
+    return M[:b_real, :n, :n]
 
 
 # ---------------------------------------------------------------------------

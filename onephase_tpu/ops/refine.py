@@ -62,18 +62,30 @@ def ds_matvec(A, x_hi, x_lo=None):
         x_lo = jnp.zeros_like(x_hi)
     P, E = two_prod(A, x_hi[None, :])
     E = E + A * x_lo[None, :]
+    return _ds_tree_sum(P, E)
 
-    def body(carry, col):
-        hi, lo = carry
-        p, e = col
-        s, err = two_sum(hi, p)
-        lo = lo + err + e
-        return (s, lo), None
 
-    m = A.shape[0]
-    init = (jnp.zeros(m, A.dtype), jnp.zeros(m, A.dtype))
-    (hi, lo), _ = lax.scan(body, init, (P.T, E.T))
-    return hi, lo
+def _ds_tree_sum(P, E):
+    """Compensated binary-tree reduction of (m, n) double-single pairs
+    along axis 1 -> (m,) pair.
+
+    A sequential compensated scan has O(n) depth — it serializes the TPU
+    (measured as the dominant latency of highprec refinement).  The tree
+    does the same work at O(log n) depth: every level is one full-width
+    vectorized ds_add, and the compensated error carry keeps double-single
+    accuracy (each ds_add is exact to ~eps^2 relative).
+    """
+    n = P.shape[1]
+    while n > 1:
+        half = (n + 1) // 2
+        if n % 2:
+            pad = jnp.zeros((P.shape[0], 1), P.dtype)
+            P = jnp.concatenate([P[:, :n], pad], axis=1)
+            E = jnp.concatenate([E[:, :n], pad], axis=1)
+            n = n + 1
+        P, E = ds_add(P[:, 0:n:2], E[:, 0:n:2], P[:, 1:n:2], E[:, 1:n:2])
+        n = half
+    return P[:, 0], E[:, 0]
 
 
 def ds_axpy(alpha, x_hi, x_lo, y_hi, y_lo):

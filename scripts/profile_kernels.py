@@ -87,6 +87,12 @@ def main():
             t_pc, e = chain_time(
                 lambda X: pchol(Q + eps * (X + X.transpose(0, 2, 1))), L)
             if e: fails.append(f"n={n} b={b} pallas_chol: {e}")
+            # batch-vectorized kernel via the custom-vmap dispatcher
+            from onephase_tpu.ops.cholesky import chol_auto, tri_inv_gram_auto
+            bchol = jax.vmap(chol_auto)
+            t_bc, e = chain_time(
+                lambda X: bchol(Q + eps * (X + X.transpose(0, 2, 1)))[0], L)
+            if e: fails.append(f"n={n} b={b} batched_pallas_chol: {e}")
 
             # --- inverse (finalize step) ---
             t_xi, e = chain_time(
@@ -95,6 +101,9 @@ def main():
             pinv = jax.vmap(pallas_tri_inv_gram)
             t_pi, e = chain_time(lambda X: pinv(L + eps * X), Minv)
             if e: fails.append(f"n={n} b={b} pallas_inv: {e}")
+            binv = jax.vmap(tri_inv_gram_auto)
+            t_bi, e = chain_time(lambda X: binv(L + eps * X), Minv)
+            if e: fails.append(f"n={n} b={b} batched_pallas_inv: {e}")
 
             # --- solve ---
             def tri2(r):
@@ -130,8 +139,8 @@ def main():
                 fails.append(f"n={n} b={b} pallas check: {str(ex).split(chr(10))[0][:100]}")
 
             print(f"n={n:4d} m={m:4d} b={b:3d} | "
-                  f"chol x {fmt(t_xc)} p {fmt(t_pc)} (err {err_c:.1e}) | "
-                  f"inv x {fmt(t_xi)} p {fmt(t_pi)} (err {err_i:.1e}) | "
+                  f"chol x {fmt(t_xc)} p {fmt(t_pc)} bp {fmt(t_bc)} (err {err_c:.1e}) | "
+                  f"inv x {fmt(t_xi)} p {fmt(t_pi)} bp {fmt(t_bi)} (err {err_i:.1e}) | "
                   f"solve tri {fmt(t_xs)} mv {fmt(t_mv)} | "
                   f"Q x {fmt(t_xq)} p {fmt(t_pq)}",
                   flush=True)
