@@ -35,6 +35,32 @@ class KKTParams:
     it_refine_adaptive: bool = False
     it_refine_tol: float = 0.0
     it_refine_max: int = 10
+    # mixed-precision residuals (TPU addition; the reference is all-f64):
+    #   same — residuals in the solve dtype
+    #   f64  — dual residual (RHS + termination) and violation measured by
+    #          f64 oracle evaluation while factorization/line-search stay in
+    #          the solve dtype.  In f32 the oracle's own rounding floors the
+    #          certifiable KKT error (see nlp.grad_lag_hi); this restores
+    #          tol 1e-6 certification.  Requires jax_enable_x64.
+    residual_precision: str = "same"
+    # factor_precision (TPU addition, the converse of residual_precision;
+    # schur path only — the symmetric paths refine against the stored K):
+    #   same — factor in the solve dtype
+    #   f32  — with an f64 solve dtype, run the whole preconditioner
+    #          pipeline (Q = H + J'DJ formation AND Cholesky + backsolves —
+    #          the 42.1% + 35.4% cost items, docs/one-phase.tex:901-912) in
+    #          f32 on the MXU; iterative refinement against the f64
+    #          residual (it_refine_*) recovers f64-accurate directions for
+    #          cond(Q) << 1/eps32.  Classic mixed-precision IPM layout:
+    #          state/oracles f64 (cheap, emulated on TPU), factorization
+    #          f32 (fast, native).  vmap/batch friendly.
+    #   f32_fallback — like f32, but Q is kept in f64 and any factorization
+    #          whose f32 pivot check rejects (cond beyond ~1/eps32, e.g.
+    #          the race to ||x|| -> 1/tol_unbounded for an unboundedness
+    #          certificate) is redone in f64 under lax.cond.  Robust for
+    #          single solves; under vmap both branches execute — prefer
+    #          "f32" for batches.
+    factor_precision: str = "same"
     kkt_solver_type: str = "schur"    # schur | symmetric (reference default :schur)
     # xla: chol + triangular solves; invchol: chol + explicit-inverse matvec
     # solves; pallas: blocked Pallas chol + inverse (TPU).  (The reference's

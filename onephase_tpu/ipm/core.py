@@ -117,11 +117,21 @@ class OnePhaseKernel:
         # the reference's delta.max = 1e50 overflows f32; clamp to the dtype
         finfo_max = float(jnp.finfo(self.dtype).max)
         self.delta_max = min(pars.delta.max, finfo_max / 64.0)
-        # relative pivot tolerance scales with machine epsilon: reject
-        # factorizations with cond(Q) beyond what the dtype can solve
-        # (~1e15 in f64, ~3e6 in f32)
-        eps = float(jnp.finfo(self.dtype).eps)
-        self.chol_pivot_tol = max(pars.kkt.chol_pivot_tol, eps / 2.0)
+        # mixed-precision factorization (config.py kkt.factor_precision):
+        # only meaningful for an f64 solve dtype, and schur-only — the
+        # symmetric paths refine against the stored K, which would then be
+        # f32-quality; the schur refinement residual uses the separately
+        # stored f64 H and Jc, so Q/L can be pure preconditioners.
+        fp = pars.kkt.factor_precision
+        mixed = fp in ("f32", "f32_fallback") and self.dtype == jnp.float64
+        if mixed and pars.kkt.kkt_solver_type != "schur":
+            raise ValueError(
+                "kkt.factor_precision requires kkt_solver_type='schur'")
+        self.factor_dtype = jnp.float32 if mixed else self.dtype
+        # dtype the factor is CARRIED in (pure f32 mode keeps L/Q f32;
+        # fallback mode stores f64 so both branches of the lax.cond agree)
+        self.factor_store_dtype = (jnp.float32 if (mixed and fp == "f32")
+                                   else self.dtype)
 
         # constant-structure fast paths (nlp.NLPSpec.constant_jac/hess):
         # evaluate once here; they fold into the compiled program as
@@ -297,7 +307,49 @@ class OnePhaseKernel:
             L, d = ldlt_mod.ldlt(Kd)
             ok = ldlt_mod.inertia_status(d, n, mr)
             return (L, d), ok
-        Qd = Q + delta * jnp.eye(n, dtype=Q.dtype)
+        Qd = Q + jnp.asarray(delta).astype(Q.dtype) * jnp.eye(n, dtype=Q.dtype)
+        if (self.pars.kkt.factor_precision == "f32_fallback"
+                and Q.dtype == jnp.float64):
+            # mixed-precision with codified fallback: try the f32 MXU
+            # factorization; when its pivot check rejects (cond(Q) beyond
+            # ~1/eps32 — e.g. the race to ||x|| -> 1/tol_unbounded for an
+            # unboundedness certificate) redo that one factorization in
+            # f64.  Both branches carry f64 L so the lax.cond is jittable.
+            # NOTE under vmap the cond lowers to a select and BOTH branches
+            # run for the whole batch; batched solves should prefer
+            # factor_precision="f32" (pure) or "same".
+            # strict=True: near the edge of f32's range the factorization
+            # passes the plain pivot check but refinement against it
+            # diverges (contraction ~ eps32*cond(Q) > 1); with an exact f64
+            # fallback available, reject early with a safety margin.
+            L32, ok32 = self._chol_ok(Qd.astype(jnp.float32), strict=True)
+
+            def use32(_):
+                return L32.astype(Q.dtype), ok32
+
+            def use64(_):
+                return self._chol_ok(Qd)
+
+            L, ok = lax.cond(ok32, use32, use64, None)
+            return (L, jnp.ones(n, Q.dtype)), ok
+        L, ok = self._chol_ok(Qd)
+        return (L, jnp.ones(n, Qd.dtype)), ok
+
+    def _chol_ok(self, Qd, strict=False):
+        """Cholesky + inertia/pivot screening in Qd's own dtype.
+
+        The relative pivot tolerance scales with machine epsilon OF THE
+        FACTOR dtype: reject factorizations with cond(Q) beyond what that
+        dtype can solve (~1e15 in f64, ~3e6 in f32).  Mirrors sparse
+        CHOLMOD's PosDefException semantics (julia.jl:28-46) for dense
+        LAPACK, which "succeeds" on numerically singular matrices.
+        `strict` adds a 64x margin so iterative refinement against the
+        factor is guaranteed to contract, not merely the solve to exist.
+        """
+        n = Qd.shape[-1]
+        eps = float(jnp.finfo(Qd.dtype).eps)
+        tol = max(self.pars.kkt.chol_pivot_tol,
+                  64.0 * eps if strict else eps / 2.0)
         if self.pars.kkt.linear_solver_type == "pallas":
             # blocked VMEM-resident factorization (ops/cholesky.py); under
             # vmap the custom-vmap rule swaps in the batch-vectorized kernel
@@ -309,8 +361,8 @@ class OnePhaseKernel:
             d = jnp.diagonal(L)
             finite = jnp.all(jnp.isfinite(d))
         pos = jnp.all(d > 0)
-        rel_ok = jnp.min(d) ** 2 > self.chol_pivot_tol * jnp.max(d) ** 2
-        return (L, jnp.ones(n, Q.dtype)), finite & pos & rel_ok
+        rel_ok = jnp.min(d) ** 2 > tol * jnp.max(d) ** 2
+        return L, finite & pos & rel_ok
 
     def finalize_solver(self, L):
         """Turn a successful Cholesky factor into the solve operator.
@@ -334,18 +386,26 @@ class OnePhaseKernel:
         return L
 
     def chol_solve(self, L, b):
-        """Apply the solve operator produced by factor+finalize_solver."""
+        """Apply the solve operator produced by factor+finalize_solver.
+        Under factor_precision="f32" the solve runs in the factor dtype and
+        the correction is cast back — the refinement loop supplies the
+        missing accuracy."""
+        out_dt = b.dtype
+        b = b.astype(L.dtype)
         if self.pars.kkt.linear_solver_type in ("pallas", "invchol"):
-            return L @ b  # L slot holds M = Q^-1
+            return (L @ b).astype(out_dt)  # L slot holds M = Q^-1
         z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        return jax.scipy.linalg.solve_triangular(
+            L.T, z, lower=False).astype(out_dt)
 
     def sym_backsolve(self, fact: Factor, b):
         """Backsolve for the symmetric/clever augmented system: LDL^T by
         default, spectral (eigh) when linear_solver_type == "eigh"."""
+        out_dt = b.dtype
+        b = b.astype(fact.L.dtype)
         if self.pars.kkt.linear_solver_type == "eigh":
-            return ldlt_mod.eigh_solve(fact.L, fact.D, b)
-        return ldlt_mod.ldlt_solve(fact.L, fact.D, b)
+            return ldlt_mod.eigh_solve(fact.L, fact.D, b).astype(out_dt)
+        return ldlt_mod.ldlt_solve(fact.L, fact.D, b).astype(out_dt)
 
     # ==================================================================
     # KKT system (reference: schur.jl)
@@ -417,8 +477,19 @@ class OnePhaseKernel:
                           L=prev.L, D=prev.D, delta=prev.delta,
                           s_f=p.s, y_f=p.y, ok=jnp.asarray(False), rescale=r)
         use_pallas = self.pars.kkt.linear_solver_type == "pallas"
-        Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas)
-        return Factor(Jc=Jc, H=H, Q=Q, schur_diag=jnp.diagonal(Q),
+        fdt = self.factor_store_dtype
+        if fdt != self.dtype:
+            # pure mixed mode (kkt.factor_precision="f32"): form Q itself in
+            # f32 — Schur formation is the 42.1% cost item
+            # (docs/one-phase.tex:901-912) and the factor is only a
+            # preconditioner; refine_solve's residual uses the f64 H/Jc
+            # stored alongside, so direction accuracy is unaffected.
+            Q = nlp.jtdj_fused(Jc.astype(fdt), (p.y / p.s).astype(fdt),
+                               H.astype(fdt), use_pallas=use_pallas)
+        else:
+            Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas)
+        return Factor(Jc=Jc, H=H, Q=Q,
+                      schur_diag=jnp.diagonal(Q).astype(self.dtype),
                       L=prev.L, D=prev.D, delta=prev.delta, s_f=p.s, y_f=p.y,
                       ok=jnp.asarray(False))
 
@@ -498,18 +569,33 @@ class OnePhaseKernel:
             res_hi, res_lo = dsr.ds_add(schur_rhs, zeros, -a_hi, -a_lo)
         return dx_hi + dx_lo
 
-    def build_rhs(self, p: Point, cache: Cache, eta_P, eta_D, eta_mu):
+    def build_rhs(self, p: Point, cache: Cache, eta_P, eta_D, eta_mu,
+                  pdata=None):
         """System_rhs (system_rhs.jl:39-74)."""
-        dual_r = -(1.0 - eta_D) * self.grad_lag(cache, p.y, p.mu * eta_mu)
+        if self.pars.kkt.residual_precision == "f64":
+            # mixed-precision Newton: the dual residual is where f32
+            # cancellation noise floors convergence; one f64 oracle pass per
+            # direction restores it (the residual itself is small, so the
+            # f32 cast of the RESULT loses nothing).  Factorization and all
+            # line-search work stay in the solve dtype.
+            th = self.pars.a_norm_penalty
+            gl = self.nlp.grad_lag_hi(
+                p.x, p.y, (p.mu * eta_mu * th).astype(jnp.float64),
+                pdata).astype(self.dtype)
+        else:
+            gl = self.grad_lag(cache, p.y, p.mu * eta_mu)
+        dual_r = -(1.0 - eta_D) * gl
         primal_r = -(1.0 - eta_P) * (cache.a - p.s)
         comp_r = p.mu * eta_mu - p.s * p.y
         return dual_r, primal_r, comp_r
 
     def compute_direction(self, fact: Factor, p: Point, cache: Cache,
-                          eta_P, eta_D, eta_mu) -> Tuple[Dir, jnp.ndarray]:
+                          eta_P, eta_D, eta_mu,
+                          pdata=None) -> Tuple[Dir, jnp.ndarray]:
         """compute_direction_implementation! (schur.jl:89-128) + KKT error."""
         nlp = self.nlp
-        dual_r, primal_r, comp_r = self.build_rhs(p, cache, eta_P, eta_D, eta_mu)
+        dual_r, primal_r, comp_r = self.build_rhs(p, cache, eta_P, eta_D,
+                                                  eta_mu, pdata)
         y_f, s_f = fact.y_f, fact.s_f
         S_vec = y_f / s_f
         sym_primal = primal_r + comp_r / y_f
@@ -1037,7 +1123,8 @@ class OnePhaseKernel:
 
         def agg_factors(_):
             # Mehrotra probe: affine direction, max sigma step
-            adir, _ = self.compute_direction(st.fact, p, cache, 0.0, 0.0, 0.0)
+            adir, _ = self.compute_direction(st.fact, p, cache, 0.0, 0.0,
+                                             0.0, st.pdata)
             lb_sp = self.lb_s_predict(p.s, adir.x)
             a_s = self.simple_max_step(p.s, adir.s, lb_sp)
             a_y = self.simple_max_step(p.y, adir.y, jnp.zeros_like(p.y))
@@ -1062,7 +1149,7 @@ class OnePhaseKernel:
 
         eta, min_step = lax.cond(be_agg, agg_factors, stb_factors, None)
         direction, ratio = self.compute_direction(
-            st.fact, p, cache, eta[0], eta[1], eta[2])
+            st.fact, p, cache, eta[0], eta[1], eta[2], st.pdata)
 
         accepted, cand_p, cand_c, info = self.line_search(
             st, direction, be_agg, min_step)
@@ -1090,12 +1177,24 @@ class OnePhaseKernel:
     # ==================================================================
     # termination (reference: terminate.jl:3-23)
     # ==================================================================
-    def terminate(self, p: Point, cache: Cache):
+    def terminate(self, p: Point, cache: Cache, pdata=None, bvals=None):
         pars = self.pars
         scale = self.dual_scale(p.y, p.s)
-        sdf0 = _norm_inf(cache.g - cache.jt_y) * scale
-        comp_scaled = jnp.max(p.s * p.y) * scale
-        max_vio = -jnp.minimum(0.0, jnp.min(cache.a))
+        if pars.kkt.residual_precision == "f64":
+            # mixed-precision certification: measure the KKT residuals with
+            # f64 oracle arithmetic (config.py kkt.residual_precision)
+            gl64 = self.nlp.grad_lag_hi(p.x, p.y, 0.0, pdata)
+            sdf0 = (_norm_inf(gl64)
+                    * scale.astype(jnp.float64)).astype(self.dtype)
+            sy64 = p.s.astype(jnp.float64) * p.y.astype(jnp.float64)
+            comp_scaled = (jnp.max(sy64)
+                           * scale.astype(jnp.float64)).astype(self.dtype)
+            a64 = self.nlp.a_of_hi(p.x, bvals, pdata)
+            max_vio = (-jnp.minimum(0.0, jnp.min(a64))).astype(self.dtype)
+        else:
+            sdf0 = _norm_inf(cache.g - cache.jt_y) * scale
+            comp_scaled = jnp.max(p.s * p.y) * scale
+            max_vio = -jnp.minimum(0.0, jnp.min(cache.a))
         jt_y_1 = _norm1(cache.jt_y)
         feas_obj = -jnp.sum(cache.a * p.y)
         fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj, jnp.inf)
@@ -1270,7 +1369,7 @@ class OnePhaseKernel:
 
         # filter update + termination + history (one_phase.jl:288-321)
         st = st._replace(filt=self.filter_add(st), agg_mask=be_agg)
-        new_status = self.terminate(st.p, st.cache)
+        new_status = self.terminate(st.p, st.cache, st.pdata, st.bvals)
         st = st._replace(status=jnp.where(st.status == RUNNING, new_status,
                                           st.status))
         step_type = jnp.where(be_agg, STEP_AGG, STEP_STB)
@@ -1377,7 +1476,8 @@ class OnePhaseKernel:
             succ, nfac, delta0, LD = self.ipopt_strategy(fact, jnp.asarray(0.0, dt))
             fact = fact._replace(L=self.finalize_solver(LD[0]), D=LD[1],
                                  delta=delta0, ok=succ)
-            adir, _ = self.compute_direction(fact, p0, cache0, 0.0, 0.0, 0.0)
+            adir, _ = self.compute_direction(fact, p0, cache0, 0.0, 0.0,
+                                             0.0, pdata)
             y_t = y0 + adir.y
             s_t = -a
             if nlp.m_bounds > 0:
@@ -1478,7 +1578,8 @@ class OnePhaseKernel:
         st = st._replace(status=jnp.where(succ, RUNNING, MAX_DELTA).astype(jnp.int32))
         # termination check at the starting point (one_phase.jl:152-166)
         st = st._replace(status=jnp.where(st.status == RUNNING,
-                                          self.terminate(p, cache),
+                                          self.terminate(p, cache, pdata,
+                                                         bvals),
                                           st.status).astype(jnp.int32))
         st = st._replace(hist=hist_mod.record(self, st, STEP_IT0))
         return st
@@ -1493,10 +1594,11 @@ class OnePhaseKernel:
                        and self.pars.kkt.kkt_system_rescale != "none")
                    else None)
         return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
-                      H=jnp.zeros((n, n), dt), Q=jnp.zeros((N, N), dt),
+                      H=jnp.zeros((n, n), dt),
+                      Q=jnp.zeros((N, N), self.factor_store_dtype),
                       schur_diag=jnp.zeros(n, dt),
-                      L=jnp.eye(N, dtype=dt),
-                      D=jnp.ones(N, dt),
+                      L=jnp.eye(N, dtype=self.factor_store_dtype),
+                      D=jnp.ones(N, self.factor_store_dtype),
                       delta=jnp.asarray(0.0, dt),
                       s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),
                       ok=jnp.asarray(False), rescale=rescale)

@@ -307,6 +307,63 @@ class CanonNLP:
             out = jnp.zeros((self.n,), self.dtype)
         return out + bnd
 
+    def grad_lag_hi(self, x, w, mu_th, pdata=None):
+        """g(x) - J(x)^T w + mu_th * J(x)^T 1, evaluated in float64.
+
+        The mixed-precision residual path (kkt.residual_precision="f64"):
+        in f32 the oracle's own rounding (~eps32 * intermediate magnitudes)
+        floors the achievable KKT error — e.g. Rosenbrock's ~1e3 Hessian
+        entries give ~1e-4 gradient noise, so tol 1e-6 is uncertifiable no
+        matter how the linear algebra is refined.  Evaluating the DUAL
+        RESIDUAL oracles in f64 (elementwise/VJP work, no factorization)
+        restores certifiability while the Schur/Cholesky path stays f32.
+        Requires jax_enable_x64.  TPU: XLA emulates f64 (slow for matmuls,
+        fine for the once-per-iteration residual).
+        """
+        hi = jnp.float64
+        x64 = x.astype(hi)
+        pd = self._pd(pdata)
+
+        def f_hi(xx):
+            xf = self._full_x(xx)
+            v = self._f_raw(xf, pd) if self.parametric else self._f_raw(xf)
+            return jnp.asarray(v, hi)
+
+        g = jax.grad(f_hi)(x64)
+        wc, bnd = self.split_canonical(w.astype(hi))
+        th_vec = mu_th * self._wc_ones.astype(hi) - wc
+        if self.m_orig > 0:
+            def c_hi(xx):
+                xf = self._full_x(xx)
+                v = self._c_raw(xf, pd) if self.parametric else self._c_raw(xf)
+                return jnp.asarray(v, hi).reshape(self.m_orig)
+
+            _, pull = jax.vjp(c_hi, x64)
+            jt = pull(th_vec)[0]
+        else:
+            jt = jnp.zeros((self.n,), hi)
+        return g + jt + mu_th * self._bnd_ones.astype(hi) - bnd
+
+    def a_of_hi(self, x, bvals=None, pdata=None):
+        """Canonical a(x) in float64 (violation measurement without the
+        f32 cancellation in c(x) - l / u - c(x))."""
+        hi = jnp.float64
+        x64 = x.astype(hi)
+        pd = self._pd(pdata)
+        if self.m_orig > 0:
+            xf = self._full_x(x64)
+            v = self._c_raw(xf, pd) if self.parametric else self._c_raw(xf)
+            cv = jnp.asarray(v, hi).reshape(self.m_orig)
+        else:
+            cv = jnp.zeros((0,), hi)
+        b = bvals if bvals is not None else self._j
+        b = {k: jnp.asarray(b[k]).astype(hi) for k in ("l", "u", "lv", "uv")}
+        j = self._j
+        return jnp.concatenate([
+            cv[j["li"]] - b["l"], b["u"] - cv[j["ui"]],
+            x64[j["lvi"]] - b["lv"], b["uv"] - x64[j["uvi"]],
+        ])
+
     def jtprod_ones(self, x, pdata=None):
         """Canonical J(x)^T @ 1 (regularizer gradient, reference eval_grad_r)."""
         if self.m_orig > 0:

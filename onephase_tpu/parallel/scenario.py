@@ -210,7 +210,9 @@ class ScenarioKernel(OnePhaseKernel):
                       L=prev.L, D=prev.D, delta=prev.delta,
                       s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
 
-    def factor(self, Q, delta):
+    def factor(self, Q, delta, rescale=None):
+        # rescale is a clever_symmetric-only concept; the arrow path never
+        # rescales (kkt_system_rescale is ignored for kkt_solver_type=schur).
         Qzz, Qkk, Bk = Q
         f = arrow_factor(Qzz, self._shard_k(Qkk), self._shard_k(Bk), delta)
         return ((self._shard_k(f.Lk), f.LS),
@@ -240,9 +242,9 @@ class ScenarioKernel(OnePhaseKernel):
         return jnp.concatenate([out_z, out_X.reshape(-1)]) + bnd
 
     def compute_direction(self, fact: Factor, p: Point, cache: Cache,
-                          eta_P, eta_D, eta_mu):
+                          eta_P, eta_D, eta_mu, pdata=None):
         dual_r, primal_r, comp_r = self.build_rhs(p, cache, eta_P, eta_D,
-                                                  eta_mu)
+                                                  eta_mu, pdata)
         y_f, s_f = fact.y_f, fact.s_f
         S_vec = y_f / s_f
         sym_primal = primal_r + comp_r / y_f

@@ -1,0 +1,126 @@
+"""Mixed-precision modes (TPU additions; the reference is all-f64).
+
+Two complementary knobs, both absent from the reference (which relies on
+f64 throughout plus optional BigFloat refinement accumulators,
+schur.jl:154-156):
+
+* ``kkt.factor_precision="f32"`` — f64 solve dtype, but the O(n^3) hot path
+  (Cholesky/LDL^T + backsolves) runs in f32 (the MXU-native dtype);
+  iterative refinement against the f64 residual recovers f64-accurate
+  directions.  This is the mode that reaches the reference's tol 1e-6
+  (parameters.jl:110-136) while keeping the factorization work in f32.
+
+* ``kkt.residual_precision="f64"`` — f32 solve dtype, but the KKT residuals
+  used for the Newton RHS and for termination are measured by f64 oracle
+  evaluation, making f32 certification honest (no false Optimal from
+  cancellation noise in a(x)-s or g-J^T y).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onephase_tpu import one_phase_solve
+from onephase_tpu.config import Params
+from onephase_tpu.ipm.core import OnePhaseKernel
+from onephase_tpu.models import zoo
+from onephase_tpu.nlp import canonicalize
+
+PROBS = [zoo.rosenbrook2, zoo.toy_lp2, zoo.toy_lp7, zoo.circle1,
+         zoo.circle_nc1, zoo.quad_opt]
+
+
+def _pars(**over):
+    base = {"term!max_it": 200, "output_level": 0, "term!tol_opt": 1e-6,
+            "kkt!it_refine_adaptive": True}
+    base.update(over)
+    return Params().with_overrides(base)
+
+
+@pytest.mark.parametrize("prob", PROBS, ids=[p.__name__ for p in PROBS])
+def test_f32_factor_reaches_tol6(prob):
+    """f64 solve + f32 factorization certifies tol 1e-6 with the same
+    trajectory as the all-f64 solve (VERDICT item 3)."""
+    r64 = one_phase_solve(canonicalize(prob(), dtype=jnp.float64), _pars())
+    r32 = one_phase_solve(canonicalize(prob(), dtype=jnp.float64),
+                          _pars(**{"kkt!factor_precision": "f32"}))
+    assert r64.status == "Optimal"
+    assert r32.status == "Optimal"
+    assert np.allclose(r32.x, r64.x, atol=1e-5)
+    # refinement restores the direction, so the path should barely differ
+    assert abs(r32.iterations - r64.iterations) <= 2
+
+
+def test_f32_factor_direction_parity():
+    """The f32-factored, f64-refined direction matches the pure-f64
+    direction to ~f64 accuracy (the refinement contract)."""
+    pars64 = _pars()
+    pars32 = _pars(**{"kkt!factor_precision": "f32"})
+    nlp = canonicalize(zoo.rosenbrook2(), dtype=jnp.float64)
+    k64 = OnePhaseKernel(nlp, pars64)
+    k32 = OnePhaseKernel(nlp, pars32)
+    assert k32.factor_dtype == jnp.float32
+    st = k64.initial_state()
+
+    def direction(k):
+        fact = k.form_factor(st.p, st.cache, k._empty_factor())
+        (L, D), ok = k.factor(fact.Q, jnp.asarray(1e-8, k.dtype))
+        assert bool(ok)
+        fact = fact._replace(L=k.finalize_solver(L), D=D,
+                             delta=jnp.asarray(1e-8, k.dtype))
+        return k.compute_direction(fact, st.p, st.cache, 0.0, 0.0, 0.0)
+
+    d64, ratio64 = direction(k64)
+    d32, ratio32 = direction(k32)
+    assert d32.x.dtype == jnp.float64
+    scale = 1.0 + float(jnp.max(jnp.abs(d64.x)))
+    assert float(jnp.max(jnp.abs(d32.x - d64.x))) / scale < 1e-8
+    assert float(ratio32) < 1e-8  # a-posteriori KKT error of the direction
+
+
+def test_f32_factor_infeasible_certificate():
+    """The Farkas infeasibility certificate survives the pure f32 factor."""
+    r = one_phase_solve(canonicalize(zoo.toy_lp_inf1(), dtype=jnp.float64),
+                        _pars(**{"kkt!factor_precision": "f32"}))
+    assert r.status == "primal_infeasible"
+
+
+def test_f32_fallback_unbounded_certificate():
+    """The race to ||x|| -> 1/tol_unbounded needs factorizations with
+    cond(Q) beyond f32; "f32_fallback" codifies the f64 fallback rule
+    (VERDICT item 3: 'codify the fallback rule where it can't')."""
+    pure = one_phase_solve(canonicalize(zoo.lp_unbd(), dtype=jnp.float64),
+                           _pars(**{"kkt!factor_precision": "f32"}))
+    assert pure.status != "dual_infeasible"  # pure f32 cannot certify this
+    fb = one_phase_solve(canonicalize(zoo.lp_unbd(), dtype=jnp.float64),
+                         _pars(**{"kkt!factor_precision": "f32_fallback"}))
+    r64 = one_phase_solve(canonicalize(zoo.lp_unbd(), dtype=jnp.float64),
+                          _pars())
+    assert fb.status == r64.status == "dual_infeasible"
+
+
+def test_residual_precision_f64_runs_and_is_honest():
+    """f32 solve with f64-measured residuals: the measured violation agrees
+    with an independent f64 evaluation (no false certification)."""
+    nlp = canonicalize(zoo.toy_lp2(), dtype=jnp.float32)
+    r = one_phase_solve(nlp, _pars(**{
+        "kkt!residual_precision": "f64", "term!tol_opt": 1e-4}))
+    assert r.status == "Optimal"
+    a64 = np.asarray(nlp.a_of_hi(jnp.asarray(r.x[:nlp.n], jnp.float32)))
+    vio64 = max(0.0, float(-a64.min()))
+    assert abs(vio64 - float(r.max_violation)) < 1e-6
+
+
+def test_grad_lag_hi_matches_f64_oracle():
+    """nlp.grad_lag_hi == the canonical-gradient identity computed in f64."""
+    nlp32 = canonicalize(zoo.circle_nc1(), dtype=jnp.float32)
+    nlp64 = canonicalize(zoo.circle_nc1(), dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=nlp32.n), jnp.float32)
+    y = jnp.asarray(rng.uniform(0.1, 2.0, size=nlp32.m), jnp.float32)
+    hi = np.asarray(nlp32.grad_lag_hi(x, y, jnp.asarray(0.0, jnp.float64)))
+    ref = np.asarray(nlp64.grad_f(x.astype(jnp.float64))
+                     - nlp64.jtprod(x.astype(jnp.float64),
+                                    y.astype(jnp.float64)))
+    assert np.allclose(hi, ref, atol=1e-12)
