@@ -56,8 +56,19 @@ class ProblemSummary:
 def run_problems(problems: Dict[str, NLPSpec], test_name: str,
                  pars: Optional[Params] = None,
                  out_root: str = "results",
-                 solve_func: Optional[Callable] = None) -> Dict[str, ProblemSummary]:
-    """Run a campaign with incremental resume (run_cutest.jl:116-134)."""
+                 solve_func: Optional[Callable] = None,
+                 profile_dir: Optional[str] = None) -> Dict[str, ProblemSummary]:
+    """Run a campaign with incremental resume (run_cutest.jl:116-134).
+
+    `profile_dir`: write a `jax.profiler` device trace for the whole
+    campaign (open with TensorBoard / xprof) — the on-device complement of
+    the host-side Timer spans.
+    """
+    if profile_dir is not None:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            return run_problems(problems, test_name, pars, out_root,
+                                solve_func, profile_dir=None)
     pars = pars or Params()
     out = os.path.join(out_root, test_name)
     os.makedirs(os.path.join(out, "log"), exist_ok=True)

@@ -696,6 +696,9 @@ class OnePhaseKernel:
         def do_zero(_):
             LD0, ok0 = self.factor(fact.Q, jnp.asarray(pars.delta.zero, dt),
                                    fact.rescale)
+            if pars.output_level >= 4:
+                jax.debug.print(
+                    "  dsearch zero-try: inertia_ok={ok}", ok=ok0)
             return LD0, ok0, jnp.asarray(1, jnp.int32)
 
         def no_zero(_):
@@ -716,6 +719,11 @@ class OnePhaseKernel:
         def body(c):
             delta, LD, ok, nfac, i = c
             LDc, okc = self.factor(fact.Q, delta, fact.rescale)
+            if pars.output_level >= 4:
+                # delta-search trace (delta_strategy.jl:70-76)
+                jax.debug.print(
+                    "  dsearch fac {i}: delta={d:.2e} inertia_ok={ok}",
+                    i=nfac + 1, d=delta, ok=okc)
             # keep stale factor on failure (matches the Julia object semantics:
             # a thrown PosDefException leaves the previous factor in place)
             LD = jax.tree_util.tree_map(
@@ -1077,6 +1085,11 @@ class OnePhaseKernel:
 
             def run(_):
                 tstat, sugg, tp, tc, aD = trial(alpha)
+                if pars.output_level >= 5:
+                    # per-trial LS trace (line_search.jl:143-153)
+                    jax.debug.print(
+                        "    ls trial {i}: alpha_P={a:.2e} alpha_D={d:.2e} "
+                        "status={s}", i=i + 1, a=alpha, d=aD, s=tstat)
                 # keep the ACCEPTED alpha on success (the reference reports
                 # step_size_P of the accepted trial, not the next backtrack)
                 next_alpha = jnp.where(tstat == LS_SUCCESS, alpha, sugg)
