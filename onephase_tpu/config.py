@@ -61,6 +61,15 @@ class KKTParams:
     #          single solves; under vmap both branches execute — prefer
     #          "f32" for batches.
     factor_precision: str = "same"
+    # q_form_dtype (TPU addition; schur only):
+    #   same — form Q = H + J'DJ in the factor dtype
+    #   bf16 — run the rank-m update on the MXU in bf16 with f32
+    #          accumulation (scale-split (sqrt(w)J)'(sqrt(w)J)).  The
+    #          ~3e-3 relative error is absorbed by iterative refinement
+    #          (the factor is a preconditioner; residuals use exact H/Jc).
+    #          Profile-driven: Q formation is the 42.1% cost item and the
+    #          MXU runs bf16 at ~4x f32 (results/profile_kernels_tpu.md).
+    q_form_dtype: str = "same"
     kkt_solver_type: str = "schur"    # schur | symmetric (reference default :schur)
     # xla: chol + triangular solves; invchol: chol + explicit-inverse matvec
     # solves; pallas: blocked Pallas chol + inverse (TPU).  (The reference's

@@ -477,6 +477,7 @@ class OnePhaseKernel:
                           L=prev.L, D=prev.D, delta=prev.delta,
                           s_f=p.s, y_f=p.y, ok=jnp.asarray(False), rescale=r)
         use_pallas = self.pars.kkt.linear_solver_type == "pallas"
+        mxu = (jnp.bfloat16 if self.pars.kkt.q_form_dtype == "bf16" else None)
         fdt = self.factor_store_dtype
         if fdt != self.dtype:
             # pure mixed mode (kkt.factor_precision="f32"): form Q itself in
@@ -485,9 +486,11 @@ class OnePhaseKernel:
             # preconditioner; refine_solve's residual uses the f64 H/Jc
             # stored alongside, so direction accuracy is unaffected.
             Q = nlp.jtdj_fused(Jc.astype(fdt), (p.y / p.s).astype(fdt),
-                               H.astype(fdt), use_pallas=use_pallas)
+                               H.astype(fdt), use_pallas=use_pallas,
+                               mxu_dtype=mxu)
         else:
-            Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas)
+            Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas,
+                               mxu_dtype=mxu)
         return Factor(Jc=Jc, H=H, Q=Q,
                       schur_diag=jnp.diagonal(Q).astype(self.dtype),
                       L=prev.L, D=prev.D, delta=prev.delta, s_f=p.s, y_f=p.y,

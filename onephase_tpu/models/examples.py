@@ -152,18 +152,20 @@ def chain(n: int = 50) -> NLPSpec:
                    x0=np.full(n, -1.2), name=f"chain{n}")
 
 
-def two_stage_qp(K: int = 4, nz: int = 3, nx: int = 4, seed: int = 0):
+def two_stage_qp(K: int = 4, nz: int = 3, nx: int = 4, mc: int = 2,
+                 seed: int = 0):
     """Two-stage scenario QP for the arrow-KKT path (parallel/scenario.py):
     first-stage cost f0(z) + per-scenario recourse QPs with coupling
     constraints ck = Ak xk + Gk z - bk >= 0.  The scenario-structured
-    analogue of the reference's ECON models (benchmark/Tax-problem)."""
+    analogue of the reference's ECON models (benchmark/Tax-problem).
+    `mc` = per-scenario constraint count (<= nx keeps rows independent)."""
     import jax
     from ..parallel.scenario import TwoStageSpec
 
     rng = np.random.default_rng(seed)
-    Ak = jnp.asarray(rng.normal(size=(K, 2, nx)))
-    Gk = jnp.asarray(rng.normal(size=(K, 2, nz)) * 0.5)
-    bk = jnp.asarray(rng.normal(size=(K, 2)) * 0.1)
+    Ak = jnp.asarray(rng.normal(size=(K, mc, nx)) / np.sqrt(nx))
+    Gk = jnp.asarray(rng.normal(size=(K, mc, nz)) * 0.5 / np.sqrt(nz))
+    bk = jnp.asarray(rng.normal(size=(K, mc)) * 0.1)
     Pk = rng.normal(size=(K, nx, nx))
     Pk = jnp.asarray(np.einsum("kij,klj->kil", Pk, Pk) / nx
                      + np.eye(nx) * 0.5)
@@ -181,8 +183,8 @@ def two_stage_qp(K: int = 4, nz: int = 3, nx: int = 4, seed: int = 0):
         return d["A"] @ xk + d["G"] @ z - d["b"]
 
     return TwoStageSpec(
-        f0=f0, fk=fk, ck=ck, data=data, K=K, nz=nz, nx=nx, mc=2,
-        lcon=np.zeros(2), ucon=np.full(2, np.inf),
+        f0=f0, fk=fk, ck=ck, data=data, K=K, nz=nz, nx=nx, mc=mc,
+        lcon=np.zeros(mc), ucon=np.full(mc, np.inf),
         lz=np.full(nz, -5.0), uz=np.full(nz, 5.0),
         lx=np.full(nx, -10.0), ux=np.full(nx, 10.0),
         z0=np.zeros(nz), x0=np.zeros(nx), name="two_stage_qp")

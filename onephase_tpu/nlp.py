@@ -426,11 +426,12 @@ class CanonNLP:
             Q = jnp.zeros((self.n, self.n), d.dtype)
         return Q + jnp.diag(bnd)
 
-    def jtdj_fused(self, Jc, d, H, use_pallas: bool = False):
-        """Q = H + J^T diag(d) J fused (Pallas kernel on TPU, ops/schur.py)."""
+    def jtdj_fused(self, Jc, d, H, use_pallas: bool = False, mxu_dtype=None):
+        """Q = H + J^T diag(d) J fused (Pallas kernel on TPU, ops/schur.py).
+        `mxu_dtype` runs the rank-m update at a faster MXU dtype (bf16)."""
         from .ops.schur import fused_q
         wc, bnd = self.split_canonical_sq(d)
-        return fused_q(Jc, wc, H, bnd, use_pallas)
+        return fused_q(Jc, wc, H, bnd, use_pallas, mxu_dtype)
 
     def jtdj_diag(self, Jc, d):
         """diag(J^T diag(d) J) (reference eval_diag_J_T_J, eval.jl:88-99)."""

@@ -186,15 +186,31 @@ def pallas_fused_q_tri(Jc, w, H, bnd, tile_n: int = 128, tile_k: int = 512,
     return Q + H + jnp.diag(bnd)
 
 
-def xla_fused_q(Jc, w, H, bnd):
+def xla_fused_q(Jc, w, H, bnd, mxu_dtype=None):
+    """Q = H + J^T diag(w) J + diag(bnd).
+
+    `mxu_dtype` (e.g. jnp.bfloat16): run the rank-m update — the 42.1% cost
+    item (docs/one-phase.tex:901-912) — at the MXU's fast dtype with f32
+    accumulation, via the scale-split J'WJ = (sqrt(w)J)'(sqrt(w)J).  sqrt
+    halves the exponent range of the y/s weights so bf16's 8-bit exponent
+    holds them; the ~3e-3 relative error is absorbed by the factorization's
+    role as a refinement preconditioner (ipm/core.refine_solve uses the
+    full-precision H/Jc for residuals).
+    """
     if Jc.shape[0] > 0:
-        Q = H + (Jc * w[:, None]).T @ Jc
+        if mxu_dtype is not None:
+            sw = jnp.sqrt(w)
+            Js = (Jc * sw[:, None]).astype(mxu_dtype)
+            Q = H + jnp.matmul(
+                Js.T, Js, preferred_element_type=jnp.float32).astype(H.dtype)
+        else:
+            Q = H + (Jc * w[:, None]).T @ Jc
     else:
         Q = H
     return Q + jnp.diag(bnd)
 
 
-def fused_q(Jc, w, H, bnd, use_pallas: bool):
+def fused_q(Jc, w, H, bnd, use_pallas: bool, mxu_dtype=None):
     """Dispatch: Pallas fused kernel on TPU, XLA fusion elsewhere.
 
     Interpreter mode (ops.INTERPRET) cannot emulate grid/program_id in this
@@ -202,6 +218,6 @@ def fused_q(Jc, w, H, bnd, use_pallas: bool):
     cholesky/solve kernels are the ones interpret-mode tests exercise.
     """
     from . import INTERPRET
-    if use_pallas and Jc.shape[0] > 0 and not INTERPRET:
+    if use_pallas and Jc.shape[0] > 0 and not INTERPRET and mxu_dtype is None:
         return pallas_fused_q(Jc, w, H, bnd)
-    return xla_fused_q(Jc, w, H, bnd)
+    return xla_fused_q(Jc, w, H, bnd, mxu_dtype)

@@ -124,3 +124,36 @@ def test_grad_lag_hi_matches_f64_oracle():
                      - nlp64.jtprod(x.astype(jnp.float64),
                                     y.astype(jnp.float64)))
     assert np.allclose(hi, ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("prob", [zoo.toy_lp2, zoo.rosenbrook2,
+                                  zoo.circle_nc1],
+                         ids=lambda p: p.__name__)
+def test_bf16_q_formation(prob):
+    """kkt.q_form_dtype="bf16": the MXU-dtype rank-m update changes only
+    the preconditioner; with refinement the trajectory is unchanged, and
+    the full cascade bf16 Q -> f32 chol -> f64 refine certifies 1e-6."""
+    base = _pars(**{"kkt!factor_precision": "f32"})
+    bf = _pars(**{"kkt!factor_precision": "f32",
+                  "kkt!q_form_dtype": "bf16"})
+    r0 = one_phase_solve(canonicalize(prob(), dtype=jnp.float64), base)
+    r1 = one_phase_solve(canonicalize(prob(), dtype=jnp.float64), bf)
+    assert r0.status == r1.status == "Optimal"
+    assert r0.iterations == r1.iterations
+    assert np.allclose(r0.x, r1.x, atol=1e-5)
+
+
+def test_bf16_q_matches_dense():
+    """xla_fused_q(mxu_dtype=bf16) agrees with the f32 dense expression to
+    bf16 resolution."""
+    from onephase_tpu.ops.schur import xla_fused_q
+    rng = np.random.default_rng(3)
+    m, n = 96, 64
+    Jc = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(1e-4, 1e4, size=m).astype(np.float32))
+    H = jnp.asarray((lambda A: A @ A.T)(rng.normal(size=(n, n))).astype(np.float32))
+    bnd = jnp.asarray(rng.uniform(0, 1, size=n).astype(np.float32))
+    q32 = np.asarray(xla_fused_q(Jc, w, H, bnd))
+    qbf = np.asarray(xla_fused_q(Jc, w, H, bnd, mxu_dtype=jnp.bfloat16))
+    scale = np.abs(q32).max()
+    assert np.abs(qbf - q32).max() / scale < 3e-2

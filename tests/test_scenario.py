@@ -105,3 +105,44 @@ def test_scenario_sharded_rejects_indivisible_k():
     with pytest.raises(ValueError):
         ScenarioKernel(make_two_stage(K=6), _pars(),
                        mesh=make_mesh(8, axis="blk"))
+
+
+def test_scenario_direction_matches_generic_at_scale():
+    """VERDICT item 6: past-toy scale — K=64 scenarios, nx=64 locals,
+    mc=32 coupling rows (flat n = 16 + 64*64 = 4112).  The arrow path must
+    agree with the dense generic kernel's direction without ever forming
+    the 4112^2 Schur complement."""
+    spec = make_two_stage(K=64, nz=16, nx=64, mc=32)
+    pars = _pars()
+    sk = ScenarioKernel(spec, pars)
+    gk = OnePhaseKernel(canonicalize(spec.to_nlpspec()), pars)
+
+    st_s = sk.initial_state()
+    st_g = gk.initial_state()
+    np.testing.assert_allclose(np.asarray(st_s.p.x), np.asarray(st_g.p.x),
+                               atol=1e-9)
+
+    f_s = sk.form_factor(st_s.p, st_s.cache, st_s.fact)
+    f_g = gk.form_factor(st_g.p, st_g.cache, st_g.fact)
+    delta = 1e-8
+    LD_s, ok_s = sk.factor(f_s.Q, delta)
+    LD_g, ok_g = gk.factor(f_g.Q, delta)
+    assert bool(ok_s) and bool(ok_g)
+    f_s = f_s._replace(L=LD_s[0], D=LD_s[1],
+                       delta=jnp.asarray(delta, sk.dtype))
+    f_g = f_g._replace(L=LD_g[0], D=LD_g[1],
+                       delta=jnp.asarray(delta, gk.dtype))
+    d_s, r_s = sk.compute_direction(f_s, st_s.p, st_s.cache, 0.0, 0.0, 0.0)
+    d_g, r_g = gk.compute_direction(f_g, st_g.p, st_g.cache, 0.0, 0.0, 0.0)
+    for fld in ("x", "y", "s"):
+        a, b = np.asarray(getattr(d_s, fld)), np.asarray(getattr(d_g, fld))
+        assert np.abs(a - b).max() / (1 + np.abs(a).max()) < 1e-6, fld
+    assert float(r_s) < 1e-8
+
+
+def test_scenario_full_solve_at_scale():
+    """Full structured IPM at K=64/nx=64/mc=32 terminates Optimal."""
+    spec = make_two_stage(K=64, nz=16, nx=64, mc=32)
+    sk = ScenarioKernel(spec, _pars())
+    st = sk.run_chunk(sk.initial_state())
+    assert int(st.status) == OPTIMAL
