@@ -188,3 +188,38 @@ def two_stage_qp(K: int = 4, nz: int = 3, nx: int = 4, mc: int = 2,
         lz=np.full(nz, -5.0), uz=np.full(nz, 5.0),
         lx=np.full(nx, -10.0), ux=np.full(nx, 10.0),
         z0=np.zeros(nz), x0=np.zeros(nx), name="two_stage_qp")
+
+
+def chain_ocp(K: int = 16, nx: int = 8, mc: int = 4, seed: int = 0):
+    """Stage-chained QP (multiple-shooting OCP shape) for the
+    block-tridiagonal path (parallel/chain.py): per-stage tracking costs
+    with cross terms and mc coupling constraints per adjacent pair —
+    the scalable analogue of the CHAIN smoke problem
+    (reference test/CUTEst.jl:11-30)."""
+    from ..parallel.chain import ChainSpec
+
+    rng = np.random.default_rng(seed)
+    Km = K - 1
+    Pk = rng.normal(size=(Km, nx, nx))
+    Pk = jnp.asarray(np.einsum("kij,klj->kil", Pk, Pk) / nx
+                     + np.eye(nx) * 0.5)
+    qk = jnp.asarray(rng.normal(size=(Km, nx)) * 0.3)
+    Ck = jnp.asarray(rng.normal(size=(Km, nx, nx)) * (0.3 / np.sqrt(nx)))
+    Ak = jnp.asarray(rng.normal(size=(Km, mc, nx)) / np.sqrt(nx))
+    Dk = jnp.asarray(rng.normal(size=(Km, mc, nx)) / np.sqrt(nx))
+    bk = jnp.asarray(rng.normal(size=(Km, mc)) * 0.1)
+
+    data = {"P": Pk, "q": qk, "C": Ck, "A": Ak, "D": Dk, "b": bk}
+
+    def fk(xa, xb, d):
+        return (0.5 * xa @ d["P"] @ xa + d["q"] @ xa
+                + xa @ d["C"] @ xb + 0.05 * jnp.dot(xb, xb))
+
+    def ck(xa, xb, d):
+        return d["D"] @ xb - d["A"] @ xa - d["b"]
+
+    return ChainSpec(
+        fk=fk, ck=ck, data=data, K=K, nx=nx, mc=mc,
+        lcon=np.zeros(mc), ucon=np.full(mc, np.inf),
+        lx=np.full(nx, -10.0), ux=np.full(nx, 10.0),
+        x0=np.zeros(nx), name=f"chain_ocp_K{K}_nx{nx}")

@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--sizes", default="128,256,512")
     ap.add_argument("--batches", default="1,16,64")
     ap.add_argument("--m-ratio", type=float, default=0.5)
+    ap.add_argument("--skip-pallas", action="store_true",
+                    help="XLA variants only (the pallas compiles hang via "
+                         "the remote-compile tunnel at n>=1024)")
+    ap.add_argument("--bf16-q", action="store_true",
+                    help="also time the bf16 fused-Q variant")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     batches = [int(b) for b in args.batches.split(",")]
@@ -83,27 +88,33 @@ def main():
             t_xc, e = chain_time(
                 lambda X: jnp.linalg.cholesky(Q + eps * (X + X.transpose(0, 2, 1))), L)
             if e: fails.append(f"n={n} b={b} xla_chol: {e}")
-            pchol = jax.vmap(lambda q: pallas_chol(q)[0])
-            t_pc, e = chain_time(
-                lambda X: pchol(Q + eps * (X + X.transpose(0, 2, 1))), L)
-            if e: fails.append(f"n={n} b={b} pallas_chol: {e}")
-            # batch-vectorized kernel via the custom-vmap dispatcher
-            from onephase_tpu.ops.cholesky import chol_auto, tri_inv_gram_auto
-            bchol = jax.vmap(chol_auto)
-            t_bc, e = chain_time(
-                lambda X: bchol(Q + eps * (X + X.transpose(0, 2, 1)))[0], L)
-            if e: fails.append(f"n={n} b={b} batched_pallas_chol: {e}")
+            if args.skip_pallas:
+                t_pc = t_bc = t_pi = t_bi = t_pq = None
+                err_c = err_i = float("nan")
+            else:
+                pchol = jax.vmap(lambda q: pallas_chol(q)[0])
+                t_pc, e = chain_time(
+                    lambda X: pchol(Q + eps * (X + X.transpose(0, 2, 1))), L)
+                if e: fails.append(f"n={n} b={b} pallas_chol: {e}")
+                # batch-vectorized kernel via the custom-vmap dispatcher
+                from onephase_tpu.ops.cholesky import chol_auto
+                bchol = jax.vmap(chol_auto)
+                t_bc, e = chain_time(
+                    lambda X: bchol(Q + eps * (X + X.transpose(0, 2, 1)))[0], L)
+                if e: fails.append(f"n={n} b={b} batched_pallas_chol: {e}")
 
             # --- inverse (finalize step) ---
             t_xi, e = chain_time(
                 lambda X: jax.vmap(xla_chol_inv_from_L)(L + eps * X), Minv)
             if e: fails.append(f"n={n} b={b} xla_inv: {e}")
-            pinv = jax.vmap(pallas_tri_inv_gram)
-            t_pi, e = chain_time(lambda X: pinv(L + eps * X), Minv)
-            if e: fails.append(f"n={n} b={b} pallas_inv: {e}")
-            binv = jax.vmap(tri_inv_gram_auto)
-            t_bi, e = chain_time(lambda X: binv(L + eps * X), Minv)
-            if e: fails.append(f"n={n} b={b} batched_pallas_inv: {e}")
+            if not args.skip_pallas:
+                from onephase_tpu.ops.cholesky import tri_inv_gram_auto
+                pinv = jax.vmap(pallas_tri_inv_gram)
+                t_pi, e = chain_time(lambda X: pinv(L + eps * X), Minv)
+                if e: fails.append(f"n={n} b={b} pallas_inv: {e}")
+                binv = jax.vmap(tri_inv_gram_auto)
+                t_bi, e = chain_time(lambda X: binv(L + eps * X), Minv)
+                if e: fails.append(f"n={n} b={b} batched_pallas_inv: {e}")
 
             # --- solve ---
             def tri2(r):
@@ -124,25 +135,34 @@ def main():
             xq = jax.vmap(xla_fused_q)
             t_xq, e = chain_time(lambda X: xq(J, w, X * 1e-20 + Q, bnd), Q)
             if e: fails.append(f"n={n} b={b} xla_q: {e}")
-            pq = jax.vmap(lambda j_, w_, h_, b_: pallas_fused_q(j_, w_, h_, b_))
-            t_pq, e = chain_time(lambda X: pq(J, w, X * 1e-20 + Q, bnd), Q)
-            if e: fails.append(f"n={n} b={b} pallas_q: {e}")
+            t_bq = None
+            if args.bf16_q:
+                bq16 = jax.vmap(lambda j_, w_, h_, b_: xla_fused_q(
+                    j_, w_, h_, b_, mxu_dtype=jnp.bfloat16))
+                t_bq, e = chain_time(lambda X: bq16(J, w, X * 1e-20 + Q, bnd), Q)
+                if e: fails.append(f"n={n} b={b} bf16_q: {e}")
+            if not args.skip_pallas:
+                pq = jax.vmap(lambda j_, w_, h_, b_: pallas_fused_q(j_, w_, h_, b_))
+                t_pq, e = chain_time(lambda X: pq(J, w, X * 1e-20 + Q, bnd), Q)
+                if e: fails.append(f"n={n} b={b} pallas_q: {e}")
 
             # correctness spot checks for the pallas paths
-            try:
-                Lp = jax.vmap(lambda q: pallas_chol(q)[0])(Q)
-                err_c = float(jnp.max(jnp.abs(Lp - L)) / jnp.max(jnp.abs(L)))
-                Mp = pinv(L)
-                err_i = float(jnp.max(jnp.abs(Mp - Minv)) / jnp.max(jnp.abs(Minv)))
-            except Exception as ex:  # noqa: BLE001
-                err_c = err_i = float("nan")
-                fails.append(f"n={n} b={b} pallas check: {str(ex).split(chr(10))[0][:100]}")
+            if not args.skip_pallas:
+                try:
+                    Lp = jax.vmap(lambda q: pallas_chol(q)[0])(Q)
+                    err_c = float(jnp.max(jnp.abs(Lp - L)) / jnp.max(jnp.abs(L)))
+                    Mp = pinv(L)
+                    err_i = float(jnp.max(jnp.abs(Mp - Minv)) / jnp.max(jnp.abs(Minv)))
+                except Exception as ex:  # noqa: BLE001
+                    err_c = err_i = float("nan")
+                    fails.append(f"n={n} b={b} pallas check: {str(ex).split(chr(10))[0][:100]}")
 
             print(f"n={n:4d} m={m:4d} b={b:3d} | "
                   f"chol x {fmt(t_xc)} p {fmt(t_pc)} bp {fmt(t_bc)} (err {err_c:.1e}) | "
                   f"inv x {fmt(t_xi)} p {fmt(t_pi)} bp {fmt(t_bi)} (err {err_i:.1e}) | "
                   f"solve tri {fmt(t_xs)} mv {fmt(t_mv)} | "
-                  f"Q x {fmt(t_xq)} p {fmt(t_pq)}",
+                  f"Q x {fmt(t_xq)} p {fmt(t_pq)}"
+                  + (f" bf16 {fmt(t_bq)}" if args.bf16_q else ""),
                   flush=True)
 
     for f in fails:
