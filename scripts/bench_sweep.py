@@ -107,6 +107,8 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--lst", default="invchol",
                     help="kkt.linear_solver_type")
+    ap.add_argument("--qform", default="same",
+                    help="kkt.q_form_dtype (same|bf16)")
     ap.add_argument("--out", default="results/bench_sweep.json")
     args = ap.parse_args()
 
@@ -133,7 +135,8 @@ def main():
                 continue
             try:
                 r = run_config(n, m, batch,
-                               {"kkt.linear_solver_type": args.lst}, dtype)
+                               {"kkt.linear_solver_type": args.lst,
+                                "kkt.q_form_dtype": args.qform}, dtype)
             except Exception as e:  # noqa: BLE001
                 rows.append({"n": n, "batch": batch,
                              "error": str(e).split("\n")[0][:200]})
@@ -147,13 +150,16 @@ def main():
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     payload = {"device": str(dev), "linear_solver_type": args.lst,
+               "q_form_dtype": args.qform,
                "dtype": "float32", "tol_opt": 1e-4, "max_it": 60,
                "peak_f32": PEAK_F32, "peak_bf16": PEAK_BF16, "rows": rows}
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
     md = args.out.replace(".json", ".md")
     with open(md, "w") as fh:
-        fh.write(f"# Bench sweep — {dev}, {args.lst}, f32, tol 1e-4\n\n")
+        fh.write(f"# Bench sweep — {dev}, {args.lst}, f32, tol 1e-4"
+                 + (f", Q in {args.qform}" if args.qform != "same" else "")
+                 + "\n\n")
         fh.write("| n | batch | fac/s | iter/s | GFLOP/s | MFU f32 % | MFU bf16 % | time s |\n")
         fh.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:

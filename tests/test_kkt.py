@@ -263,3 +263,35 @@ def test_it_refine_adaptive_direction_parity():
         assert r_ada.status == r_fix.status == "Optimal"
         assert r_ada.iterations == r_fix.iterations
         np.testing.assert_allclose(r_ada.x, r_fix.x, atol=1e-9)
+
+
+def test_pallas_fused_q_tri_parity_interpret():
+    """Triangle-tiled fused-Q kernel == XLA expression (ADVICE r1: the
+    kernel is not on the dispatch path but must stay CI-verified)."""
+    from onephase_tpu.ops.schur import pallas_fused_q_tri, xla_fused_q
+    rng = np.random.default_rng(7)
+    for (m, n) in [(96, 64), (300, 200)]:
+        Jc = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        w = jnp.asarray(rng.uniform(0.1, 5.0, size=m).astype(np.float32))
+        H0 = rng.normal(size=(n, n)).astype(np.float32)
+        H = jnp.asarray(H0 @ H0.T)
+        bnd = jnp.asarray(rng.uniform(0, 1, size=n).astype(np.float32))
+        q_ref = np.asarray(xla_fused_q(Jc, w, H, bnd))
+        q_tri = np.asarray(pallas_fused_q_tri(Jc, w, H, bnd, interpret=True))
+        scale = np.abs(q_ref).max()
+        assert np.abs(q_tri - q_ref).max() / scale < 1e-5
+
+
+def test_it_refine_adaptive_direction_parity(base_pars):
+    """kkt.it_refine_adaptive (while-loop refinement) reproduces the
+    fixed-count path's trajectory on the toy LPs (ADVICE r1)."""
+    from onephase_tpu import one_phase_solve
+    for prob in (zoo.toy_lp2, zoo.toy_lp7, zoo.rosenbrook2):
+        rs = []
+        for adaptive in (False, True):
+            pars = base_pars.with_overrides(
+                {"kkt!it_refine_adaptive": adaptive})
+            rs.append(one_phase_solve(prob(), pars))
+        assert rs[0].status == rs[1].status == "Optimal"
+        assert rs[0].iterations == rs[1].iterations
+        assert np.allclose(rs[0].x, rs[1].x, atol=1e-7)
