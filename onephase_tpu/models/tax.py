@@ -57,3 +57,62 @@ def tax1d(na: int = 50, mu_exp: float = 1.0, lam: float = 1.0) -> NLPSpec:
         lcon=np.zeros(m), ucon=np.full(m, INF),
         lvar=np.zeros(2 * na), uvar=np.full(2 * na, INF),
         x0=np.ones(2 * na), name=f"ECON{na}")
+
+
+def tax_grouped(G: int = 8, na_g: int = 16, mu_exp: float = 1.0,
+                lam: float = 1.0):
+    """Block-angular ECON variant for the arrow-KKT path
+    (parallel/scenario.py): G agent groups (regions), each with its own
+    wage grid and WITHIN-group incentive-compatibility rows, coupled
+    through a shared demogrant z (a lump-sum transfer added to every
+    agent's consumption, funded group-by-group).
+
+    Economically: regional Mirrlees design with a common transfer; agents
+    compare bundles only within their region.  Structurally: per-group
+    variables x_k = (c, y), per-group constraints (IC + regional budget
+    net of the transfer), coupling variable z — the scenario-structured
+    analogue of the dense tax1d/ECON models
+    (benchmark/Tax-problem/tax1D.jl:6-36) that the generic kernel solves.
+    """
+    from ..parallel.scenario import TwoStageSpec
+
+    mu1 = mu_exp + 1.0
+    # per-group wage grids: group g covers wages offset by g
+    w = np.stack([np.linspace(1.0 + g, float(na_g) + g, na_g)
+                  for g in range(G)])              # (G, na_g)
+    iu = np.nonzero(~np.eye(na_g, dtype=bool))
+    iu_r = jnp.asarray(iu[0])
+    iu_c = jnp.asarray(iu[1])
+    data = {"w": jnp.asarray(w)}
+    mc = na_g * (na_g - 1) + 1
+
+    def split(xk):
+        return xk[:na_g], xk[na_g:]
+
+    def fk(xk, z, d):
+        c, y = split(xk)
+        ce = c + z[0]
+        own = jnp.log(ce) - (y / d["w"]) ** mu1 / mu1
+        return -lam * jnp.sum(own)
+
+    def f0(z):
+        return 0.0 * z[0]
+
+    def ck(xk, z, d):
+        c, y = split(xk)
+        ce = c + z[0]
+        U = (jnp.log(ce)[None, :]
+             - (y[None, :] / d["w"][:, None]) ** mu1 / mu1)
+        own = jnp.diagonal(U)
+        ic = own[iu_r] - U[iu_r, iu_c]
+        resource = lam * jnp.sum(y - c) - na_g * z[0]
+        return jnp.concatenate([ic, resource[None]])
+
+    return TwoStageSpec(
+        f0=f0, fk=fk, ck=ck, data=data, K=G, nz=1, nx=2 * na_g, mc=mc,
+        lcon=np.zeros(mc), ucon=np.full(mc, np.inf),
+        lz=np.zeros(1), uz=np.full(1, 10.0),
+        lx=np.concatenate([np.full(na_g, 1e-6), np.zeros(na_g)]),
+        ux=np.full(2 * na_g, np.inf),
+        z0=np.full(1, 0.1), x0=np.ones(2 * na_g),
+        name=f"ECON_G{G}x{na_g}")

@@ -146,3 +146,22 @@ def test_scenario_full_solve_at_scale():
     sk = ScenarioKernel(spec, _pars())
     st = sk.run_chunk(sk.initial_state())
     assert int(st.status) == OPTIMAL
+
+
+def test_tax_grouped_structured_matches_dense():
+    """ECON-style block-angular model (VERDICT item 6): the grouped
+    Mirrlees design solves identically on the arrow path and the dense
+    generic kernel."""
+    from onephase_tpu.models.tax import tax_grouped
+
+    spec = tax_grouped(G=4, na_g=6)
+    pars = _pars()
+    sk = ScenarioKernel(spec, pars)
+    st = sk.run_chunk(sk.initial_state())
+    assert int(st.status) == OPTIMAL
+
+    from onephase_tpu import one_phase_solve
+    r = one_phase_solve(canonicalize(spec.to_nlpspec()), pars)
+    assert r.status == "Optimal"
+    np.testing.assert_allclose(np.asarray(st.p.x), r.x, atol=1e-5)
+    assert abs(int(st.t) - 1 - r.iterations) <= 1
