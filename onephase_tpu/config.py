@@ -71,6 +71,12 @@ class KKTParams:
     #          MXU runs bf16 at ~4x f32 (results/profile_kernels_tpu.md).
     q_form_dtype: str = "same"
     kkt_solver_type: str = "schur"    # schur | symmetric (reference default :schur)
+    # chain_partitions (TPU addition; ChainKernel only): >1 factors the
+    # block-tridiagonal Schur complement with that many parallel chunks
+    # (nested dissection: interiors vmapped/mesh-shardable, tiny sequential
+    # reduced system over separators; ops/block_tridiag.partitioned_factor).
+    # 0/1 -> fully sequential K-step block recursion.
+    chain_partitions: int = 0
     # xla: chol + triangular solves; invchol: chol + explicit-inverse matvec
     # solves; pallas: blocked Pallas chol + inverse (TPU).  (The reference's
     # julia/HSL/mumps backend selection, linear_system_solvers.jl:11-33.)

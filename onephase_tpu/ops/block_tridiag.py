@@ -96,6 +96,95 @@ def tridiag_solve(f: TridiagFactor, b):
     return jnp.concatenate([xs, xK[None]])
 
 
+class PartitionedFactor(NamedTuple):
+    """Nested-dissection factorization of a block-tridiagonal SPD matrix.
+
+    K = P * Kc stages are split into P chunks; the last stage of each
+    chunk is a *separator*.  The Li = Kc-1 interior stages of every chunk
+    factor independently (vmapped over P — the parallel axis, shardable
+    over a device mesh), leaving a P-block reduced tridiagonal system
+    over the separators (tiny, sequential).  Elimination order
+    (interiors first, separators last) is just a permutation, so "every
+    block Cholesky succeeds" still certifies positive definiteness —
+    the same inertia rule as `tridiag_factor` (julia.jl:28-46).
+    """
+    interiors: TridiagFactor   # Ck (P, Li, nb, nb), Ek (P, Li-1, nb, nb)
+    Gu: jnp.ndarray            # (P, Li, nb, nb) = T_p^{-1} u_p
+    Gv: jnp.ndarray            # (P, Li, nb, nb) = T_p^{-1} v_p  (v_0 = 0)
+    Bu: jnp.ndarray            # (P, nb, nb) coupling B_{s_p - 1}
+    Vs: jnp.ndarray            # (P, nb, nb) coupling B_{s_{p-1}} (0 at p=0)
+    red: TridiagFactor         # reduced P-block tridiagonal factor
+    ok: jnp.ndarray
+
+
+def _partition_blocks(Ad, Bs, P):
+    """Split (K,nb,nb)/(K-1,nb,nb) chain blocks into per-chunk pieces."""
+    K, nb, _ = Ad.shape
+    if K % P or K // P < 2:
+        raise ValueError(f"K={K} must be P*Kc with Kc>=2 (P={P})")
+    Kc = K // P
+    Li = Kc - 1
+    Adc = Ad.reshape(P, Kc, nb, nb)
+    Bpad = jnp.concatenate([Bs, jnp.zeros((1, nb, nb), Bs.dtype)])
+    Bc = Bpad.reshape(P, Kc, nb, nb)
+    Ai = Adc[:, :Li]                      # interior diagonal blocks
+    Ei = Bc[:, :Li - 1] if Li > 1 else jnp.zeros((P, 0, nb, nb), Bs.dtype)
+    Asep = Adc[:, -1]                     # separator diagonal blocks
+    Bu = Bc[:, Li - 1]                    # B_{s_p - 1}: interior->own sep
+    # v_p = B_{s_{p-1}} couples chunk p's first interior stage to sep p-1
+    Vs = jnp.concatenate([jnp.zeros((1, nb, nb), Bs.dtype), Bc[:-1, -1]])
+    return Kc, Li, Ai, Ei, Asep, Bu, Vs
+
+
+def partitioned_factor(Ad, Bs, delta, P) -> PartitionedFactor:
+    """Factor tridiag(B, A, B^T) + delta*I with P parallel chunks."""
+    K, nb, _ = Ad.shape
+    Kc, Li, Ai, Ei, Asep, Bu, Vs = _partition_blocks(Ad, Bs, P)
+
+    interiors = jax.vmap(lambda a, e: tridiag_factor(a, e, delta))(Ai, Ei)
+
+    def couple_rhs(Bu_p, Vs_p):
+        U = jnp.zeros((Li, nb, nb), Ad.dtype).at[Li - 1].set(Bu_p.T)
+        V = jnp.zeros((Li, nb, nb), Ad.dtype).at[0].set(Vs_p)
+        return U, V
+
+    U, V = jax.vmap(couple_rhs)(Bu, Vs)
+    Gu = jax.vmap(tridiag_solve)(interiors, U)
+    Gv = jax.vmap(tridiag_solve)(interiors, V)
+
+    eye = jnp.eye(nb, dtype=Ad.dtype)
+    # S[p,p] = A_sep[p] + dI - u_p' T_p^-1 u_p - v_{p+1}' T_{p+1}^-1 v_{p+1}
+    W = jnp.einsum("pji,pjk->pik", Vs, Gv[:, 0])       # v_p' T_p^-1 v_p
+    Wnext = jnp.concatenate([W[1:], jnp.zeros((1, nb, nb), Ad.dtype)])
+    S_dd = (Asep + delta * eye
+            - jnp.einsum("pij,pjk->pik", Bu, Gu[:, -1]) - Wnext)
+    # S[p, p-1] = -u_p' T_p^-1 v_p
+    S_sub = -jnp.einsum("pij,pjk->pik", Bu[1:], Gv[1:, -1])
+    red = tridiag_factor(S_dd, S_sub, 0.0)
+    ok = jnp.all(interiors.ok) & red.ok
+    return PartitionedFactor(interiors=interiors, Gu=Gu, Gv=Gv, Bu=Bu,
+                             Vs=Vs, red=red, ok=ok)
+
+
+def partitioned_solve(f: PartitionedFactor, b):
+    """Solve with b (K, nb); interiors in parallel, reduced sequential."""
+    P, Li, nb, _ = f.Gu.shape
+    Kc = Li + 1
+    bc = b.reshape(P, Kc, nb)
+    bi, bsep = bc[:, :Li], bc[:, -1]
+
+    yi = jax.vmap(tridiag_solve)(f.interiors, bi)
+    Z = jnp.einsum("pji,pj->pi", f.Vs, yi[:, 0])       # v_p' T_p^-1 b_i
+    Znext = jnp.concatenate([Z[1:], jnp.zeros((1, nb), b.dtype)])
+    rs = bsep - jnp.einsum("pij,pj->pi", f.Bu, yi[:, -1]) - Znext
+    xs = tridiag_solve(f.red, rs)
+
+    xs_prev = jnp.concatenate([jnp.zeros((1, nb), b.dtype), xs[:-1]])
+    xi = (yi - jnp.einsum("pkij,pj->pki", f.Gu, xs)
+          - jnp.einsum("pkij,pj->pki", f.Gv, xs_prev))
+    return jnp.concatenate([xi, xs[:, None]], axis=1).reshape(P * Kc, nb)
+
+
 def tridiag_matvec(Ad, Bs, v):
     """Block-tridiagonal matvec: (Q v)_k = A_k v_k + B_{k-1} v_{k-1}
     + B_k^T v_{k+1}; v (K, nb)."""

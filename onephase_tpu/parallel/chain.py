@@ -32,8 +32,10 @@ from ..config import Params
 from ..ipm.core import OnePhaseKernel, _norm_inf
 from ..ipm.state import Cache, Dir, Factor, Point
 from ..nlp import NLPSpec, canonicalize
-from ..ops.block_tridiag import (TridiagFactor, tridiag_factor,
-                                 tridiag_matvec, tridiag_solve)
+from ..ops.block_tridiag import (PartitionedFactor, TridiagFactor,
+                                 partitioned_factor, partitioned_solve,
+                                 tridiag_factor, tridiag_matvec,
+                                 tridiag_solve)
 
 
 @dataclass
@@ -79,12 +81,48 @@ class ChainSpec:
 class ChainKernel(OnePhaseKernel):
     """OnePhaseKernel whose KKT linear algebra is block-tridiagonal."""
 
-    def __init__(self, spec: ChainSpec, pars: Params, dtype=None):
+    def __init__(self, spec: ChainSpec, pars: Params, dtype=None,
+                 mesh=None, chain_axis: str = "chain"):
+        """mesh/chain_axis: optional jax.sharding.Mesh whose `chain_axis`
+        shards the chunk axis of the partitioned factorization (requires
+        kkt.chain_partitions > 1 divisible by the axis size) — the
+        cross-device scaling path for chain NLPs (GSPMD inserts the
+        collectives, scaling-book recipe)."""
         self.spec = spec
         nlp = canonicalize(spec.to_nlpspec(), dtype=dtype)
         if pars.kkt.kkt_solver_type != "schur":
             raise ValueError("ChainKernel implements the schur path only")
+        if pars.kkt.linear_solver_type != "xla":
+            raise ValueError("ChainKernel has its own block solve path; "
+                             "set kkt.linear_solver_type='xla'")
+        self.partitions = int(pars.kkt.chain_partitions)
+        if self.partitions > 1 and (spec.K % self.partitions
+                                    or spec.K // self.partitions < 2):
+            raise ValueError(
+                f"chain_partitions={self.partitions} needs K={spec.K} "
+                "= P*Kc with Kc>=2")
+        self.mesh = mesh
+        self.chain_axis = chain_axis
+        if mesh is not None and self.partitions <= 1:
+            raise ValueError("a mesh requires kkt.chain_partitions > 1")
         super().__init__(nlp, pars)
+
+    def _shard_chunks(self, pf: PartitionedFactor) -> PartitionedFactor:
+        """Pin the chunk-parallel leaves to the mesh's chain axis; the tiny
+        reduced factor stays replicated (its P-step scan is sequential)."""
+        if self.mesh is None:
+            return pf
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def shard(a):
+            spec = PartitionSpec(self.chain_axis, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.mesh, spec))
+
+        return pf._replace(
+            interiors=jax.tree_util.tree_map(shard, pf.interiors),
+            Gu=shard(pf.Gu), Gv=shard(pf.Gv),
+            Bu=shard(pf.Bu), Vs=shard(pf.Vs))
 
     # ---------------- structured pieces ------------------------------
     def _split_x(self, x):
@@ -166,10 +204,15 @@ class ChainKernel(OnePhaseKernel):
 
     def factor(self, Q, delta, rescale=None):
         Qd, Qs = Q
+        if self.partitions > 1:
+            pf = partitioned_factor(Qd, Qs, delta, self.partitions)
+            return (self._shard_chunks(pf), jnp.zeros(1, Qd.dtype)), pf.ok
         f = tridiag_factor(Qd, Qs, delta)
         return ((f.Ck, f.Ek), jnp.zeros(1, Qd.dtype)), f.ok
 
     def _tri_solve(self, fact, rhs):
+        if self.partitions > 1:
+            return partitioned_solve(fact.L, self._split_x(rhs)).reshape(-1)
         Ck, Ek = fact.L
         f = TridiagFactor(Ck=Ck, Ek=Ek, ok=jnp.asarray(True))
         return tridiag_solve(f, self._split_x(rhs)).reshape(-1)
@@ -228,14 +271,22 @@ class ChainKernel(OnePhaseKernel):
         dt = self.dtype
         n, m = self.n, self.m
         nx, K, mc = sp.nx, sp.K, sp.mc
+        if self.partitions > 1:
+            # identity-block factorization fixes the pytree structure for
+            # the while_loop carry; ok=False marks it stale
+            L0 = partitioned_factor(
+                jnp.stack([jnp.eye(nx, dtype=dt)] * K),
+                jnp.zeros((K - 1, nx, nx), dt), 0.0, self.partitions)
+        else:
+            L0 = (jnp.stack([jnp.eye(nx, dtype=dt)] * K),
+                  jnp.zeros((K - 1, nx, nx), dt))
         return Factor(
             Jc=(jnp.zeros((K - 1, mc, nx), dt),
                 jnp.zeros((K - 1, mc, nx), dt)),
             H=(jnp.zeros((K, nx, nx), dt), jnp.zeros((K - 1, nx, nx), dt)),
             Q=(jnp.zeros((K, nx, nx), dt), jnp.zeros((K - 1, nx, nx), dt)),
             schur_diag=jnp.zeros(n, dt),
-            L=(jnp.stack([jnp.eye(nx, dtype=dt)] * K),
-               jnp.zeros((K - 1, nx, nx), dt)),
+            L=L0,
             D=jnp.zeros(1, dt),
             delta=jnp.asarray(0.0, dt),
             s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),

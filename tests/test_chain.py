@@ -10,7 +10,8 @@ from onephase_tpu.ipm.state import OPTIMAL
 from onephase_tpu.models.examples import chain_ocp
 from onephase_tpu.nlp import canonicalize
 from onephase_tpu.parallel.chain import ChainKernel
-from onephase_tpu.ops.block_tridiag import (TridiagFactor, tridiag_factor,
+from onephase_tpu.ops.block_tridiag import (TridiagFactor, partitioned_factor,
+                                            partitioned_solve, tridiag_factor,
                                             tridiag_matvec, tridiag_solve)
 
 
@@ -108,6 +109,72 @@ def test_chain_end_to_end_matches_generic():
     assert r.status == "Optimal"
     np.testing.assert_allclose(np.asarray(st.p.x), r.x, atol=1e-5)
     assert abs(int(st.t) - 1 - r.iterations) <= 1
+
+
+def test_partitioned_factor_matches_dense():
+    rng = np.random.default_rng(3)
+    for K, nb, P in [(8, 3, 4), (16, 5, 4), (6, 4, 3)]:
+        Ad = rng.normal(size=(K, nb, nb))
+        Ad = np.einsum("kij,klj->kil", Ad, Ad) + 3 * np.eye(nb)
+        Bs = rng.normal(size=(K - 1, nb, nb)) * 0.3
+        b = rng.normal(size=(K, nb))
+        delta = 1e-3
+        f = partitioned_factor(jnp.asarray(Ad), jnp.asarray(Bs), delta, P)
+        assert bool(f.ok)
+        x = np.asarray(partitioned_solve(f, jnp.asarray(b)))
+        Q = _dense_from_blocks(Ad, Bs) + delta * np.eye(K * nb)
+        x_ref = np.linalg.solve(Q, b.reshape(-1)).reshape(K, nb)
+        np.testing.assert_allclose(x, x_ref, atol=1e-9)
+
+
+def test_partitioned_indefinite_rejected():
+    rng = np.random.default_rng(4)
+    K, nb, P = 8, 3, 4
+    Ad = rng.normal(size=(K, nb, nb))
+    Ad = np.einsum("kij,klj->kil", Ad, Ad) + 3 * np.eye(nb)
+    Bs = rng.normal(size=(K - 1, nb, nb)) * 0.3
+    Ad[5] -= 50.0 * np.eye(nb)   # stage 5 is an interior stage of chunk 2
+    f = partitioned_factor(jnp.asarray(Ad), jnp.asarray(Bs), 0.0, P)
+    assert not bool(f.ok)
+    Ad[5] += 50.0 * np.eye(nb)
+    Ad[7] -= 50.0 * np.eye(nb)   # stage 7 is a separator stage
+    f = partitioned_factor(jnp.asarray(Ad), jnp.asarray(Bs), 0.0, P)
+    assert not bool(f.ok)
+
+
+def test_chain_partitioned_end_to_end_matches_sequential():
+    """Partitioned (nested-dissection) chain solve follows the sequential
+    block recursion exactly — same trajectory, same certificate."""
+    spec = chain_ocp(K=16, nx=6, mc=3)
+    st_seq = ChainKernel(spec, _pars()).run_chunk(
+        ChainKernel(spec, _pars()).initial_state())
+    pars_p = _pars().with_overrides({"kkt.chain_partitions": 4})
+    ck = ChainKernel(spec, pars_p)
+    st_par = ck.run_chunk(ck.initial_state())
+    assert int(st_par.status) == OPTIMAL
+    assert int(st_par.t) == int(st_seq.t)
+    np.testing.assert_allclose(np.asarray(st_par.p.x),
+                               np.asarray(st_seq.p.x), atol=1e-7)
+
+
+def test_chain_sharded_matches_unsharded():
+    """Chunk axis sharded over the 8-device CPU mesh: identical trajectory
+    to the single-device partitioned solve."""
+    import jax
+    from jax.sharding import Mesh
+
+    spec = chain_ocp(K=16, nx=6, mc=3)
+    pars_p = _pars().with_overrides({"kkt.chain_partitions": 8})
+    ck0 = ChainKernel(spec, pars_p)
+    st0 = ck0.run_chunk(ck0.initial_state())
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("chain",))
+    ck = ChainKernel(spec, pars_p, mesh=mesh)
+    st = ck.run_chunk(ck.initial_state())
+    assert int(st.status) == OPTIMAL
+    assert int(st.t) == int(st0.t)
+    np.testing.assert_allclose(np.asarray(st.p.x), np.asarray(st0.p.x),
+                               atol=1e-8)
 
 
 def test_chain_full_solve_5k_variables():
