@@ -242,9 +242,9 @@ def pallas_chol_inv(Q, interpret: bool = None):
 def xla_chol_inv_from_L(L):
     """XLA fallback for the finalize step: M = L^-T L^-1 via one
     triangular solve against the identity + a Gram matmul."""
-    Li = jax.scipy.linalg.solve_triangular(
-        L, jnp.eye(L.shape[-1], dtype=L.dtype), lower=True)
-    return Li.T @ Li
+    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
+    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.swapaxes(Li, -1, -2) @ Li
 
 
 # ===========================================================================
@@ -520,7 +520,17 @@ def _chol_auto_vmap(axis_size, in_batched, Q):
     if INTERPRET:
         out = jax.lax.map(pallas_chol, Q)
     else:
-        out = pallas_chol_batched(Q)
+        # Batched dispatch goes to XLA, not pallas_chol_batched: the
+        # profile (results/profile_kernels_tpu.md) shows XLA's batched
+        # Cholesky wins at every size tried, and the Mosaic compile of the
+        # batched kernel crashes (remote-compile HTTP 500) at b=1 and
+        # n>=512.  The Pallas batched kernels remain covered in interpret
+        # mode (tests/test_kkt.py) for the m >> 4096 regime where
+        # re-measurement could flip the default.
+        L = jnp.linalg.cholesky(Q)
+        d = jnp.diagonal(L, axis1=-2, axis2=-1)
+        ok = jnp.all(jnp.isfinite(d), axis=-1) & jnp.all(d > 0, axis=-1)
+        out = (L, d, ok)
     return out, (True, True, True)
 
 
@@ -536,5 +546,6 @@ def _tig_auto_vmap(axis_size, in_batched, L):
     if INTERPRET:
         out = jax.lax.map(pallas_tri_inv_gram, L)
     else:
-        out = pallas_tri_inv_gram_batched(L)
+        # same rationale as _chol_auto_vmap: XLA wins + Mosaic crash
+        out = xla_chol_inv_from_L(L)
     return out, True
