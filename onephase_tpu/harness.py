@@ -130,6 +130,54 @@ def run_problems(problems: Dict[str, NLPSpec], test_name: str,
     return summary
 
 
+def run_problems_multihost(problems: Dict[str, NLPSpec], test_name: str,
+                           pars: Optional[Params] = None,
+                           out_root: str = "results",
+                           solve_func: Optional[Callable] = None,
+                           process_index: Optional[int] = None,
+                           process_count: Optional[int] = None):
+    """Multi-host campaign driver (the SLURM-array replacement at the
+    process level; reference benchmark/CUTEst/*.sbatch + resume-by-skip,
+    run_cutest.jl:116-134).
+
+    Each host solves a round-robin shard of the problem list into
+    `<test_name>/host<i>/` on the shared filesystem (per-shard incremental
+    resume included), then whichever host observes every shard complete
+    merges them into the campaign-level `summary.json`/`summary.csv`.
+    Process identity defaults to `jax.process_index()/process_count()` —
+    bring up multi-host JAX first via `parallel.mesh.distributed_init`.
+    Returns the merged summary, or None while other hosts are still
+    running (call again later or let the last-finishing host merge).
+    """
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    names = sorted(problems)
+    shard = {n: problems[n] for i, n in enumerate(names) if i % pc == pi}
+    run_problems(shard, os.path.join(test_name, f"host{pi}"), pars,
+                 out_root, solve_func)
+
+    merged: Dict[str, ProblemSummary] = {}
+    for p in range(pc):
+        path = os.path.join(out_root, test_name, f"host{p}", "summary.json")
+        expected = [n for i, n in enumerate(names) if i % pc == p]
+        if not os.path.isfile(path):
+            return None
+        with open(path) as fh:
+            d = json.load(fh)
+        if not all(n in d for n in expected):
+            return None
+        merged.update({k: ProblemSummary(**v) for k, v in d.items()})
+
+    out = os.path.join(out_root, test_name)
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "summary.json"), "w") as fh:
+        json.dump({k: asdict(v) for k, v in merged.items()}, fh, indent=1)
+    write_csv(os.path.join(out, "summary.csv"), merged)
+    return merged
+
+
 def run_lp_directory(path: str, test_name: str,
                      pars: Optional[Params] = None,
                      out_root: str = "results",

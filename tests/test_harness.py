@@ -51,6 +51,34 @@ def test_harness_resume_and_csv(tmp_path, base_pars):
     assert (tmp_path / "campaign" / "par.txt").exists()
 
 
+def test_multihost_campaign_shard_and_merge(tmp_path, base_pars):
+    """Two simulated hosts each solve their round-robin shard; the last
+    one to finish merges the campaign summary (shared-filesystem
+    semantics, reference SLURM-array + resume-by-skip)."""
+    from onephase_tpu.harness import run_problems_multihost
+    from onephase_tpu.models import zoo
+    probs = {"lp1": zoo.toy_lp1(), "inf1": zoo.toy_lp_inf1(),
+             "lp2": zoo.toy_lp2()}
+    # host 0 finishes first: merge must report "still waiting" (None)
+    out0 = run_problems_multihost(probs, "mh", pars=base_pars,
+                                  out_root=str(tmp_path),
+                                  process_index=0, process_count=2)
+    assert out0 is None
+    # host 1 finishes last and performs the merge
+    merged = run_problems_multihost(probs, "mh", pars=base_pars,
+                                    out_root=str(tmp_path),
+                                    process_index=1, process_count=2)
+    assert set(merged) == set(probs)
+    assert merged["lp1"].status == "optimal"
+    assert merged["inf1"].status == "primal_infeasible"
+    csv_lines = (tmp_path / "mh" / "summary.csv").read_text().strip().split("\n")
+    assert len(csv_lines) == 4
+    # per-host shards are disjoint and complete
+    h0 = json.load(open(tmp_path / "mh" / "host0" / "summary.json"))
+    h1 = json.load(open(tmp_path / "mh" / "host1" / "summary.json"))
+    assert set(h0).isdisjoint(h1) and set(h0) | set(h1) == set(probs)
+
+
 def test_compare_to_reference(tmp_path, base_pars):
     from onephase_tpu.models import zoo
     ref_csv = tmp_path / "ref.csv"
