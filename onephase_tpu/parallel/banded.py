@@ -1,0 +1,206 @@
+"""RCM-banded one-phase IPM: general unstructured sparsity on the MXU.
+
+The general-sparsity scaling path (SURVEY.md §5 "scaling-axis"; reference
+`Class_iterate.jl:4-20` sparse cache + `julia.jl:34,52` sparse CHOLMOD):
+instead of a general sparse factorization — irregular gather/scatter the
+MXU cannot tile — the structural pattern of Q = H + J' D J is
+Reverse-Cuthill-McKee reordered ONCE at construction (host-side symbolic
+analysis in C++/numpy, `native.rcm_order` / `native/structure.cpp` — the
+role AMD/symbolic analysis plays inside SuiteSparse for the reference).
+A banded matrix with bandwidth <= nb IS block-tridiagonal with (nb, nb)
+dense blocks, so the permuted Q is assembled directly in block-band form
+and factored by `ops/block_tridiag` at O(K nb^3) — sequential block
+recursion or the partitioned nested-dissection variant
+(`kkt.chain_partitions`), every step an MXU-dense matmul.  The (n, n)
+dense Q is never materialized: band assembly costs O(m n nb) instead of
+the dense path's O(m n^2) (the 42.1% cost item,
+docs/one-phase.tex:901-912), and the factorization O(n nb^2) per stage
+instead of O(n^3).
+
+Pattern caveat: sparsity structure is detected from |J|/|H| at sample
+points at construction time; entries structurally zero at every sample
+but nonzero elsewhere would be dropped — the standard AD-structure
+assumption (the reference trusts CUTEst's declared structure the same
+way).  Problems whose RCM bandwidth approaches n gain nothing; use the
+dense `OnePhaseKernel` there.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Params
+from ..ipm.core import OnePhaseKernel
+from ..ipm.state import Cache, Factor, Point
+from ..native import rcm_order
+from ..nlp import CanonNLP
+from ..ops.block_tridiag import (TridiagFactor, partitioned_factor,
+                                 partitioned_solve, tridiag_factor,
+                                 tridiag_solve)
+
+
+def _structural_pattern(nlp: CanonNLP, n_samples: int, pdata) -> np.ndarray:
+    """Union of |J|/|H| nonzero patterns at sample points (host-side)."""
+    rng = np.random.default_rng(0)
+    x0 = np.asarray(nlp.x0, np.float64)
+    pat = np.eye(nlp.n, dtype=bool)
+    for i in range(max(1, n_samples)):
+        if i == 0:
+            x = x0
+        else:
+            x = x0 * (1.0 + 0.01 * rng.standard_normal(nlp.n)) \
+                + 0.01 * rng.standard_normal(nlp.n)
+        xj = jnp.asarray(x, nlp.dtype)
+        y = jnp.asarray(rng.uniform(0.5, 1.5, nlp.m), nlp.dtype)
+        if nlp.m_orig > 0:
+            B = np.abs(np.asarray(nlp.jac_orig(xj, pdata))) > 0
+            pat |= (B.astype(np.int64).T @ B.astype(np.int64)) > 0
+        pat |= np.abs(np.asarray(nlp.lag_hess(xj, y, pdata))) > 0
+    return pat
+
+
+class BandedKernel(OnePhaseKernel):
+    """OnePhaseKernel whose Schur complement is RCM-banded block-tridiag.
+
+    `block_size` overrides the detected bandwidth (must be >= it).  With
+    `pars.kkt.chain_partitions > 1` the band factors via the parallel
+    nested-dissection path (mesh-shardable chunk axis, see ChainKernel).
+    """
+
+    def __init__(self, nlp: CanonNLP, pars: Params,
+                 block_size: int = None, n_samples: int = 2,
+                 sample_pdata=None):
+        if pars.kkt.kkt_solver_type != "schur":
+            raise ValueError("BandedKernel implements the schur path only")
+        if pars.kkt.linear_solver_type != "xla":
+            raise ValueError("BandedKernel has its own block solve path; "
+                             "set kkt.linear_solver_type='xla'")
+        if pars.kkt.factor_precision != "same":
+            raise ValueError("BandedKernel supports factor_precision='same'")
+        super().__init__(nlp, pars)
+
+        # host-side symbolic analysis: RCM ordering + bandwidth
+        pattern = _structural_pattern(nlp, n_samples, sample_pdata)
+        perm = np.asarray(rcm_order(pattern), np.int64)
+        pp = pattern[perm][:, perm]
+        ii, jj = np.nonzero(pp)
+        bw = int(np.abs(ii - jj).max()) if ii.size else 1
+        nb = int(block_size) if block_size is not None else max(bw, 1)
+        if nb < bw:
+            raise ValueError(f"block_size {nb} < RCM bandwidth {bw}")
+        K = -(-nlp.n // nb)
+        self.partitions = int(pars.kkt.chain_partitions)
+        if self.partitions > 1:
+            # partitioned factor needs K = P * Kc with Kc >= 2
+            Kc = max(2, -(-K // self.partitions))
+            K = self.partitions * Kc
+        self.nb, self.K, self.n_pad = nb, K, K * nb
+        self.bandwidth = bw
+        self.perm = perm
+        self.iperm = np.argsort(perm)
+
+    # ---------------- banded assembly --------------------------------
+    def _banded_blocks(self, H, Jc, wc, bnd):
+        """(Qd, Qs) block bands of P (H + J' diag(wc) J + diag(bnd)) P'."""
+        K, nb, n, n_pad = self.K, self.nb, self.n, self.n_pad
+        perm = jnp.asarray(self.perm)
+        pad = n_pad - n
+
+        Hp = H[perm][:, perm]
+        if pad:
+            Hp = jnp.pad(Hp, ((0, pad), (0, pad)))
+            idx = jnp.arange(n, n_pad)
+            Hp = Hp.at[idx, idx].set(1.0)   # decoupled identity tail
+        Hb = Hp.reshape(K, nb, K, nb)
+        kk = jnp.arange(K)
+        Qd = Hb[kk, :, kk, :]
+        Qs = Hb[kk[1:], :, kk[:-1], :] if K > 1 \
+            else jnp.zeros((0, nb, nb), H.dtype)
+
+        bnd_p = bnd[perm]
+        if pad:
+            bnd_p = jnp.pad(bnd_p, (0, pad))
+        Qd = Qd + jax.vmap(jnp.diag)(bnd_p.reshape(K, nb))
+
+        if self.nlp.m_orig > 0:
+            Jp = Jc[:, perm]
+            if pad:
+                Jp = jnp.pad(Jp, ((0, 0), (0, pad)))
+            Jb = Jp.reshape(-1, K, nb)
+            JW = Jb * wc[:, None, None]
+            Qd = Qd + jnp.einsum("mki,mkj->kij", JW, Jb)
+            if K > 1:
+                Qs = Qs + jnp.einsum("mki,mkj->kij", JW[:, 1:], Jb[:, :-1])
+        return Qd, Qs
+
+    # ---------------- overridden KKT path ----------------------------
+    def form_factor(self, p: Point, cache: Cache, prev: Factor,
+                    pdata=None) -> Factor:
+        nlp = self.nlp
+        y_eff = p.y + p.mu * self.pars.a_norm_penalty
+        if self._H_const is not None:
+            H = self._H_const
+        elif self._param_const_hess:
+            H = prev.H
+        else:
+            H = nlp.lag_hess(p.x, y_eff, pdata)
+        if self._Jc_const is not None:
+            Jc = self._Jc_const
+        elif self._param_const_jac:
+            Jc = prev.Jc
+        else:
+            Jc = nlp.jac_orig(p.x, pdata)
+
+        wc, bnd = nlp.split_canonical_sq(p.y / p.s)
+        Qd, Qs = self._banded_blocks(H, Jc, wc, bnd)
+        # same multiset as diag(Q) up to the identity tail -> tau test and
+        # delta zero-try behave as in the dense kernel
+        schur_diag = jax.vmap(jnp.diagonal)(Qd).reshape(-1)[
+            jnp.asarray(self.iperm)]
+        return Factor(Jc=Jc, H=H, Q=(Qd, Qs), schur_diag=schur_diag,
+                      L=prev.L, D=prev.D, delta=prev.delta,
+                      s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
+
+    def factor(self, Q, delta, rescale=None):
+        Qd, Qs = Q
+        if self.partitions > 1:
+            pf = partitioned_factor(Qd, Qs, delta, self.partitions)
+            return (pf, jnp.zeros(1, Qd.dtype)), pf.ok
+        f = tridiag_factor(Qd, Qs, delta)
+        return ((f.Ck, f.Ek), jnp.zeros(1, Qd.dtype)), f.ok
+
+    def chol_solve(self, L, b):
+        """Permute -> banded block solve -> unpermute."""
+        n, n_pad, K, nb = self.n, self.n_pad, self.K, self.nb
+        bp = b[jnp.asarray(self.perm)]
+        if n_pad != n:
+            bp = jnp.pad(bp, (0, n_pad - n))
+        bp = bp.reshape(K, nb)
+        if self.partitions > 1:
+            xp = partitioned_solve(L, bp)
+        else:
+            Ck, Ek = L
+            xp = tridiag_solve(TridiagFactor(Ck, Ek, jnp.asarray(True)), bp)
+        return xp.reshape(-1)[:n][jnp.asarray(self.iperm)]
+
+    def _empty_factor(self) -> Factor:
+        n, m = self.n, self.m
+        dt = self.dtype
+        K, nb = self.K, self.nb
+        eyeK = jnp.broadcast_to(jnp.eye(nb, dtype=dt), (K, nb, nb))
+        zsub = jnp.zeros((max(K - 1, 0), nb, nb), dt)
+        if self.partitions > 1:
+            L0 = partitioned_factor(eyeK, zsub, 0.0, self.partitions)
+        else:
+            L0 = (eyeK, zsub)
+        return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
+                      H=jnp.zeros((n, n), dt),
+                      Q=(eyeK, zsub),
+                      schur_diag=jnp.zeros(n, dt),
+                      L=L0, D=jnp.zeros(1, dt),
+                      delta=jnp.asarray(0.0, dt),
+                      s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),
+                      ok=jnp.asarray(False))
