@@ -72,7 +72,7 @@ class BandedKernel(OnePhaseKernel):
 
     def __init__(self, nlp: CanonNLP, pars: Params,
                  block_size: int = None, n_samples: int = 2,
-                 sample_pdata=None):
+                 sample_pdata=None, mesh=None, chain_axis: str = "chain"):
         if pars.kkt.kkt_solver_type != "schur":
             raise ValueError("BandedKernel implements the schur path only")
         if pars.kkt.linear_solver_type != "xla":
@@ -101,6 +101,28 @@ class BandedKernel(OnePhaseKernel):
         self.bandwidth = bw
         self.perm = perm
         self.iperm = np.argsort(perm)
+        self.mesh = mesh
+        self.chain_axis = chain_axis
+        if mesh is not None and self.partitions <= 1:
+            raise ValueError("a mesh requires kkt.chain_partitions > 1")
+
+    def _shard_chunks(self, pf):
+        """Pin the chunk-parallel leaves to the mesh's chain axis (same
+        pattern as ChainKernel._shard_chunks); the reduced factor stays
+        replicated."""
+        if self.mesh is None:
+            return pf
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def shard(a):
+            spec = PartitionSpec(self.chain_axis, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.mesh, spec))
+
+        return pf._replace(
+            interiors=jax.tree_util.tree_map(shard, pf.interiors),
+            Gu=shard(pf.Gu), Gv=shard(pf.Gv),
+            Bu=shard(pf.Bu), Vs=shard(pf.Vs))
 
     # ---------------- banded assembly --------------------------------
     def _banded_blocks(self, H, Jc, wc, bnd):
@@ -168,7 +190,7 @@ class BandedKernel(OnePhaseKernel):
         Qd, Qs = Q
         if self.partitions > 1:
             pf = partitioned_factor(Qd, Qs, delta, self.partitions)
-            return (pf, jnp.zeros(1, Qd.dtype)), pf.ok
+            return (self._shard_chunks(pf), jnp.zeros(1, Qd.dtype)), pf.ok
         f = tridiag_factor(Qd, Qs, delta)
         return ((f.Ck, f.Ek), jnp.zeros(1, Qd.dtype)), f.ok
 

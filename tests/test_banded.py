@@ -100,6 +100,24 @@ def test_banded_partitioned_matches_sequential():
                                np.asarray(st_seq.p.x), atol=1e-7)
 
 
+def test_banded_sharded_matches_unsharded():
+    import jax
+    from jax.sharding import Mesh
+
+    nlp = _chain_nlp(K=16)
+    pars_p = _pars(**{"kkt.chain_partitions": 8})
+    bk0 = BandedKernel(nlp, pars_p)
+    st0 = bk0.run_chunk(bk0.initial_state())
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("chain",))
+    bk = BandedKernel(nlp, pars_p, mesh=mesh)
+    st = bk.run_chunk(bk.initial_state())
+    assert int(st.status) == OPTIMAL
+    assert int(st.t) == int(st0.t)
+    np.testing.assert_allclose(np.asarray(st.p.x), np.asarray(st0.p.x),
+                               atol=1e-8)
+
+
 def test_rcm_recovers_band_from_scrambled_order():
     """Random variable permutation destroys the natural band; the native
     RCM ordering must recover a bandwidth far below n, and the solve must
