@@ -1,11 +1,28 @@
-"""Benchmark: batched KKT factorization throughput of the one-phase IPM.
+"""Benchmark: batched solve throughput of the one-phase IPM on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Metric (BASELINE.json): KKT factorizations/s per chip, measured by running
 the full jitted IPM (not an isolated kernel) on a vmapped batch of
-constrained QP instances — so every factorization also pays its Schur
-formation, direction solve and line search, exactly like production use.
+constrained QP instances to *certified termination* — every factorization
+also pays its Schur formation, direction solve and line search, exactly
+like production use, and the run only counts if the instances actually
+reach `Optimal`.  A solver that stalls (e.g. the pre-round-3 TPU bf16
+matmul default, VERDICT r2 item 1) reports value 0.0 instead of a
+throughput number: uncertified iterations are not progress.
+
+Extra fields (informational, not the driver metric):
+  solved/batch      — certified-Optimal count; value is 0.0 unless all solve
+  iters_per_s       — outer iterations/s across the batch
+  solves_per_s      — certified solves/s (time-to-all-solved basis)
+  statuses          — status histogram
+
+Metric history: r01 reported 3127 fac/s and r02 1448 fac/s on the SAME
+config — the drop was *efficiency*, not regression: round-2 refinement cut
+factorizations/iteration from ~3.3 to ~1.1 while wall-clock/iteration
+improved 27%.  Those runs also never converged on TPU (bf16 matmul stall).
+From round 3 the number is computed over certified solves only, so it is
+not comparable to r01/r02 (which measured 960 stalled iterations).
 
 Baseline derivation (BASELINE.md): the reference spends 35.4% of a 10 h
 238-problem CUTEst sweep factorizing at 1.9 factorizations/outer-iteration
@@ -101,6 +118,7 @@ def _bench():
                           os.environ["JAX_PLATFORMS_OVERRIDE"])
 
     from onephase_tpu.config import Params
+    from onephase_tpu.ipm.state import OPTIMAL, RUNNING, STATUS_NAMES
     from onephase_tpu.nlp import canonicalize
     from onephase_tpu.parallel.batch import BatchSolver
 
@@ -115,6 +133,10 @@ def _bench():
         # double-single residual refinement: better f32 directions cut
         # wasted line-search work in the mu ~ tol tail (+18% measured)
         "kkt.it_refine_highprec": True,
+        # matmul_precision defaults to "highest": on TPU the bf16 matmul
+        # default floors the KKT residual above tol and nothing certifies
+        # (VERDICT r2 item 1); measured on-chip: default=16xMAX_IT/0.74s,
+        # highest=16xOptimal in 11-14 its/0.16s.
     })
     nlp = canonicalize(make_qp(n, m), dtype=dtype)
     solver = BatchSolver(nlp, pars)
@@ -127,25 +149,38 @@ def _bench():
     st = solver.run_chunk(st)
     jax.block_until_ready(st)
 
-    # timed run: fresh states, run to completion or max_it
+    # timed run: fresh states, run until every instance terminates.
+    # status check pulls to host via np (no jit compile in the timed loop)
+    max_chunks = (pars.term.max_it + pars.chunk_size - 1) // pars.chunk_size
     st = solver.init(x0s)
     jax.block_until_ready(st)
     t0 = time.perf_counter()
-    n_chunks = 3
-    for _ in range(n_chunks):
+    for _ in range(max_chunks):
         st = solver.run_chunk(st)
+        if not (np.asarray(st.status) == RUNNING).any():
+            break
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
 
+    statuses = [STATUS_NAMES[int(s)] for s in np.asarray(st.status)]
+    solved = int(np.sum(np.asarray(st.status) == OPTIMAL))
     total_fac = int(jnp.sum(st.cum_fac))
     total_outer = int(jnp.sum(st.t - 1))
     fac_per_s = total_fac / dt
+    certified = solved == batch
     res = {
         "metric": "kkt_factorizations_per_s_per_chip",
-        "value": round(fac_per_s, 2),
-        "unit": f"fac/s (n={n}, m={m}, batch={batch}, {lst}, "
-                f"{total_outer} outer its in {dt:.2f}s)",
-        "vs_baseline": round(fac_per_s / BASELINE_FAC_PER_S, 2),
+        "value": round(fac_per_s, 2) if certified else 0.0,
+        "unit": (f"fac/s over certified solves (n={n}, m={m}, batch={batch}, "
+                 f"{lst}, {solved}/{batch} Optimal, {total_outer} outer its "
+                 f"in {dt:.3f}s)"),
+        "vs_baseline": round(fac_per_s / BASELINE_FAC_PER_S, 2)
+        if certified else 0.0,
+        "solved": solved,
+        "batch": batch,
+        "iters_per_s": round(total_outer / dt, 1),
+        "solves_per_s": round(solved / dt, 1),
+        "statuses": {s: statuses.count(s) for s in sorted(set(statuses))},
     }
     print(json.dumps(res))
 

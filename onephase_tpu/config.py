@@ -218,6 +218,15 @@ class Params:
     # parameters.jl:240,278 — knob intentionally not carried, PARITY.md)
 
     # TPU-build additions (no reference counterpart):
+    # MXU matmul precision for f32 solves.  JAX's TPU default lowers f32
+    # matmuls to single-pass bf16 MXU ops (~8e-3 relative error), which
+    # floors the KKT residual far above tol_opt: the solver literally never
+    # certifies on a real TPU under the default.  "highest" (6-pass bf16,
+    # f32-exact) restores certification; "high" (3-pass) is the measured
+    # middle ground; "default" recovers the raw-bf16 behavior for
+    # experiments.  No-op on CPU and for f64 solves.  The reference is
+    # all-f64 and has no counterpart knob (src/parameters.jl).
+    matmul_precision: str = "highest"
     # number of outer iterations executed per jitted chunk (wall-clock /
     # progress-printing granularity; does not affect the algorithm).
     chunk_size: int = 50

@@ -38,6 +38,15 @@ TABLE_STATUS = {
 }
 
 
+def _write_json_atomic(path: str, obj) -> None:
+    """Write JSON via temp file + rename so concurrent readers (multi-host
+    merge scan) never observe a partially-written file."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=1)
+    os.replace(tmp, path)
+
+
 @dataclass
 class ProblemSummary:
     """reference problem_summary2 (benchmark/summary.jl:15-38)."""
@@ -80,6 +89,10 @@ def run_problems(problems: Dict[str, NLPSpec], test_name: str,
             summary = {k: ProblemSummary(**v) for k, v in json.load(fh).items()}
     else:
         summary = {}
+    # write the (possibly empty) summary up front so a host whose shard is
+    # empty still produces the file the multi-host merge scan waits for
+    _write_json_atomic(summary_path,
+                       {k: asdict(v) for k, v in summary.items()})
 
     with open(os.path.join(out, "par.txt"), "w") as fh:
         pars.write_pars(fh)
@@ -122,8 +135,8 @@ def run_problems(problems: Dict[str, NLPSpec], test_name: str,
         summary[name] = rec
         print(f"  it count = {rec.it_count}\n  status = {rec.status}")
 
-        with open(summary_path, "w") as fh:
-            json.dump({k: asdict(v) for k, v in summary.items()}, fh, indent=1)
+        _write_json_atomic(summary_path,
+                           {k: asdict(v) for k, v in summary.items()})
         write_csv(os.path.join(out, "summary.csv"), summary)
         with open(os.path.join(out, "timer.txt"), "w") as fh:
             fh.write(master_timer.stats())
@@ -164,16 +177,20 @@ def run_problems_multihost(problems: Dict[str, NLPSpec], test_name: str,
         expected = [n for i, n in enumerate(names) if i % pc == p]
         if not os.path.isfile(path):
             return None
-        with open(path) as fh:
-            d = json.load(fh)
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            # another host is mid-write; "still running" per the protocol
+            return None
         if not all(n in d for n in expected):
             return None
         merged.update({k: ProblemSummary(**v) for k, v in d.items()})
 
     out = os.path.join(out_root, test_name)
     os.makedirs(out, exist_ok=True)
-    with open(os.path.join(out, "summary.json"), "w") as fh:
-        json.dump({k: asdict(v) for k, v in merged.items()}, fh, indent=1)
+    _write_json_atomic(os.path.join(out, "summary.json"),
+                       {k: asdict(v) for k, v in merged.items()})
     write_csv(os.path.join(out, "summary.csv"), merged)
     return merged
 

@@ -62,6 +62,18 @@ def _isbad(v):
     return jnp.any(~jnp.isfinite(v))
 
 
+def _mm_precision_ctx(name: str):
+    """Matmul-precision scope for the solver's traced entry points
+    (config.py Params.matmul_precision).  Applied at trace time, so it
+    covers every consumer of `_run_chunk`/`_initial_state` — the plain jit
+    (solver.py), vmapped batches (parallel/batch.py), mesh-sharded runs,
+    and the structured-KKT subclasses."""
+    import contextlib
+    if name in (None, "", "default"):
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(name)
+
+
 _CACHE_ENABLED = False
 
 
@@ -1408,6 +1420,10 @@ class OnePhaseKernel:
         return st._replace(t=st.t + 1)
 
     def _run_chunk(self, st: State) -> State:
+        with _mm_precision_ctx(self.pars.matmul_precision):
+            return self._run_chunk_impl(st)
+
+    def _run_chunk_impl(self, st: State) -> State:
         pars = self.pars
 
         def cond(c):
@@ -1451,6 +1467,10 @@ class OnePhaseKernel:
         return jnp.clip(x0, b_L, b_U)
 
     def _initial_state(self, x0, bvals=None, pdata=None) -> State:
+        with _mm_precision_ctx(self.pars.matmul_precision):
+            return self._initial_state_impl(x0, bvals, pdata)
+
+    def _initial_state_impl(self, x0, bvals=None, pdata=None) -> State:
         nlp, pars = self.nlp, self.pars
         dt = self.dtype
         n, m = self.n, self.m

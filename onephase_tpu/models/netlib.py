@@ -99,12 +99,11 @@ _MECHANISMS = ("range_shift", "eq_conflict", "sign_conflict",
                "interval_conflict")
 
 
-def _lpi_instance(name: str, m: int, n: int, mech: str, seed: int) -> NLPSpec:
-    """One dimension-matched infeasible LP.
-
-    Base: random sparse-ish LP with a known interior feasible point
-    (x in (0, 10)^n, every 4th row equality), then broken by `mech`.
-    """
+def _lp_base(m: int, n: int, seed: int):
+    """Random sparse-ish *feasible* LP base: known interior point
+    x in (0, 10)^n, every 4th row an equality, box bounds [0, 10] (so any
+    objective is bounded).  Shared by the infeasible stand-ins (which break
+    it) and the feasible members of `mixed_suite` (which keep it)."""
     rng = _rng(seed)
     density = min(1.0, max(0.02, 8.0 / n))      # ~8 nonzeros/row like Netlib
     A = rng.normal(size=(m, n)) * (rng.random((m, n)) < density)
@@ -116,6 +115,15 @@ def _lpi_instance(name: str, m: int, n: int, mech: str, seed: int) -> NLPSpec:
     ucon = np.where(is_eq, b, b + 2.0)
     lvar = np.zeros(n)
     uvar = np.full(n, 10.0)
+    return rng, A, b, is_eq, lcon, ucon, lvar, uvar
+
+
+def _lpi_instance(name: str, m: int, n: int, mech: str, seed: int) -> NLPSpec:
+    """One dimension-matched infeasible LP.
+
+    Base: `_lp_base` (feasible), then broken by `mech`.
+    """
+    rng, A, b, is_eq, lcon, ucon, lvar, uvar = _lp_base(m, n, seed)
 
     if mech == "range_shift":
         # reference infeas.jl mechanism: shift ranges until they conflict
@@ -163,6 +171,36 @@ def lpi_suite(max_n: int | None = None, seed: int = 7,
         mech = _MECHANISMS[i % len(_MECHANISMS)]
         data = _lpi_instance(name, m, n, mech, seed + i)
         out[name] = data if as_data else data.to_spec()
+    return out
+
+
+def mixed_suite(n_pairs: int = 12, seed: int = 11, max_n: int = 600,
+                as_data: bool = True):
+    """Mixed feasible + infeasible pool at lpi_* dimensions — the
+    *falsifiable* parity campaign (VERDICT r2 item 5): a solver that
+    always declares `primal_infeasible` scores 50%, not 100%.  Feasible
+    members are the unbroken `_lp_base` with a random objective; their
+    optimal values are cross-checkable against an independent LP solver
+    (the HiGHS lane, baselines.scipy_linprog_solve) on the identical data.
+
+    Returns {name: LPData} (or NLPSpec with as_data=False); every name is
+    suffixed `_feas`/`_infeas` with the ground-truth class.
+    """
+    dims = [d for d in sorted(LPI_DIMS.items()) if d[1][1] <= max_n]
+    out = {}
+    for i in range(n_pairs):
+        base_name, (m, n) = dims[i % len(dims)]
+        # feasible member: base LP + bounded random objective
+        rng, A, b, is_eq, lcon, ucon, lvar, uvar = _lp_base(m, n, seed + 2 * i)
+        d_feas = LPData(cvec=rng.normal(size=n), A=A, lcon=lcon, ucon=ucon,
+                        lvar=lvar, uvar=uvar, x0=np.full(n, 5.0),
+                        name=f"{base_name}_{i}_feas")
+        # infeasible member: same dims, broken by the cycling mechanism
+        mech = _MECHANISMS[i % len(_MECHANISMS)]
+        d_inf = _lpi_instance(f"{base_name}_{i}_infeas", m, n, mech,
+                              seed + 2 * i + 1)
+        for d in (d_feas, d_inf):
+            out[d.name] = d if as_data else d.to_spec()
     return out
 
 

@@ -117,6 +117,41 @@ class PartitionedFactor(NamedTuple):
     ok: jnp.ndarray
 
 
+def check_mesh_partitions(partitions: int, mesh, axis: str) -> None:
+    """Validate a chunk-axis sharding request up front: an indivisible
+    P/axis-size combination otherwise surfaces as an opaque GSPMD sharding
+    error at trace time."""
+    if partitions <= 1:
+        raise ValueError("a mesh requires kkt.chain_partitions > 1")
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no axis {axis!r} (axes: "
+                         f"{tuple(mesh.shape)})")
+    size = mesh.shape[axis]
+    if partitions % size:
+        raise ValueError(
+            f"kkt.chain_partitions={partitions} must be divisible by the "
+            f"mesh {axis!r} axis size {size}")
+
+
+def shard_partitioned(pf: PartitionedFactor, mesh, axis: str) -> PartitionedFactor:
+    """Pin the chunk-parallel leaves of a PartitionedFactor to `axis` of
+    `mesh`; the tiny reduced factor stays replicated (its P-step scan is
+    sequential).  Shared by ChainKernel and BandedKernel."""
+    if mesh is None:
+        return pf
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def shard(a):
+        spec = PartitionSpec(axis, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    return pf._replace(
+        interiors=jax.tree_util.tree_map(shard, pf.interiors),
+        Gu=shard(pf.Gu), Gv=shard(pf.Gv),
+        Bu=shard(pf.Bu), Vs=shard(pf.Vs))
+
+
 def _partition_blocks(Ad, Bs, P):
     """Split (K,nb,nb)/(K-1,nb,nb) chain blocks into per-chunk pieces."""
     K, nb, _ = Ad.shape

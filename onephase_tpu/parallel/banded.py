@@ -37,8 +37,9 @@ from ..ipm.core import OnePhaseKernel
 from ..ipm.state import Cache, Factor, Point
 from ..native import rcm_order
 from ..nlp import CanonNLP
-from ..ops.block_tridiag import (TridiagFactor, partitioned_factor,
-                                 partitioned_solve, tridiag_factor,
+from ..ops.block_tridiag import (TridiagFactor, check_mesh_partitions,
+                                 partitioned_factor, partitioned_solve,
+                                 shard_partitioned, tridiag_factor,
                                  tridiag_solve)
 
 
@@ -103,26 +104,11 @@ class BandedKernel(OnePhaseKernel):
         self.iperm = np.argsort(perm)
         self.mesh = mesh
         self.chain_axis = chain_axis
-        if mesh is not None and self.partitions <= 1:
-            raise ValueError("a mesh requires kkt.chain_partitions > 1")
+        if mesh is not None:
+            check_mesh_partitions(self.partitions, mesh, chain_axis)
 
     def _shard_chunks(self, pf):
-        """Pin the chunk-parallel leaves to the mesh's chain axis (same
-        pattern as ChainKernel._shard_chunks); the reduced factor stays
-        replicated."""
-        if self.mesh is None:
-            return pf
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        def shard(a):
-            spec = PartitionSpec(self.chain_axis, *([None] * (a.ndim - 1)))
-            return jax.lax.with_sharding_constraint(
-                a, NamedSharding(self.mesh, spec))
-
-        return pf._replace(
-            interiors=jax.tree_util.tree_map(shard, pf.interiors),
-            Gu=shard(pf.Gu), Gv=shard(pf.Gv),
-            Bu=shard(pf.Bu), Vs=shard(pf.Vs))
+        return shard_partitioned(pf, self.mesh, self.chain_axis)
 
     # ---------------- banded assembly --------------------------------
     def _banded_blocks(self, H, Jc, wc, bnd):

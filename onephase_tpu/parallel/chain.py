@@ -33,7 +33,8 @@ from ..ipm.core import OnePhaseKernel, _norm_inf
 from ..ipm.state import Cache, Dir, Factor, Point
 from ..nlp import NLPSpec, canonicalize
 from ..ops.block_tridiag import (PartitionedFactor, TridiagFactor,
-                                 partitioned_factor, partitioned_solve,
+                                 check_mesh_partitions, partitioned_factor,
+                                 partitioned_solve, shard_partitioned,
                                  tridiag_factor, tridiag_matvec,
                                  tridiag_solve)
 
@@ -103,26 +104,12 @@ class ChainKernel(OnePhaseKernel):
                 "= P*Kc with Kc>=2")
         self.mesh = mesh
         self.chain_axis = chain_axis
-        if mesh is not None and self.partitions <= 1:
-            raise ValueError("a mesh requires kkt.chain_partitions > 1")
+        if mesh is not None:
+            check_mesh_partitions(self.partitions, mesh, chain_axis)
         super().__init__(nlp, pars)
 
     def _shard_chunks(self, pf: PartitionedFactor) -> PartitionedFactor:
-        """Pin the chunk-parallel leaves to the mesh's chain axis; the tiny
-        reduced factor stays replicated (its P-step scan is sequential)."""
-        if self.mesh is None:
-            return pf
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        def shard(a):
-            spec = PartitionSpec(self.chain_axis, *([None] * (a.ndim - 1)))
-            return jax.lax.with_sharding_constraint(
-                a, NamedSharding(self.mesh, spec))
-
-        return pf._replace(
-            interiors=jax.tree_util.tree_map(shard, pf.interiors),
-            Gu=shard(pf.Gu), Gv=shard(pf.Gv),
-            Bu=shard(pf.Bu), Vs=shard(pf.Vs))
+        return shard_partitioned(pf, self.mesh, self.chain_axis)
 
     # ---------------- structured pieces ------------------------------
     def _split_x(self, x):

@@ -133,11 +133,13 @@ def test_partitioned_indefinite_rejected():
     Ad = rng.normal(size=(K, nb, nb))
     Ad = np.einsum("kij,klj->kil", Ad, Ad) + 3 * np.eye(nb)
     Bs = rng.normal(size=(K - 1, nb, nb)) * 0.3
-    Ad[5] -= 50.0 * np.eye(nb)   # stage 5 is an interior stage of chunk 2
+    # K=8, P=4 -> chunks of Kc=2; separators are the last stage of each
+    # chunk (stages 1,3,5,7), interiors are stages 0,2,4,6.
+    Ad[4] -= 50.0 * np.eye(nb)   # stage 4: interior stage of chunk 2
     f = partitioned_factor(jnp.asarray(Ad), jnp.asarray(Bs), 0.0, P)
     assert not bool(f.ok)
-    Ad[5] += 50.0 * np.eye(nb)
-    Ad[7] -= 50.0 * np.eye(nb)   # stage 7 is a separator stage
+    Ad[4] += 50.0 * np.eye(nb)
+    Ad[7] -= 50.0 * np.eye(nb)   # stage 7: separator stage
     f = partitioned_factor(jnp.asarray(Ad), jnp.asarray(Bs), 0.0, P)
     assert not bool(f.ok)
 
