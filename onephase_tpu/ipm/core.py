@@ -154,6 +154,10 @@ class OnePhaseKernel:
         x0j = jnp.asarray(nlp.x0, self.dtype)
         cjac = getattr(nlp.spec, "constant_jac", False)
         chess = getattr(nlp.spec, "constant_hess", False)
+        if getattr(self, "_skip_const_fold", False):
+            # matrix-free structured kernels never materialize J/H, even
+            # as folded constants (BandedKernel matrix_free mode)
+            cjac = chess = False
         self._param_const_jac = cjac and nlp.parametric
         self._param_const_hess = chess and nlp.parametric
         self._Jc_const = (nlp.jac_orig(x0j)
@@ -376,6 +380,46 @@ class OnePhaseKernel:
         rel_ok = jnp.min(d) ** 2 > tol * jnp.max(d) ** 2
         return L, finite & pos & rel_ok
 
+    # ------------------------------------------------------------------
+    # factor-point product hooks.  All consumers of the factorization-point
+    # Jacobian/Hessian go through these, so (a) constant-structure problems
+    # never carry per-instance copies of folded constants in the state
+    # pytree (the batched n=2048 OOM fix: Factor stores (0,0) placeholders
+    # and the compile-time constant is read here), and (b) structured
+    # kernels (BandedKernel matrix-free mode) can substitute linearized
+    # oracle products without any dense J/H existing at all.
+    def _fact_jc(self, fact: Factor):
+        return self._Jc_const if self._Jc_const is not None else fact.Jc
+
+    def _fact_h(self, fact: Factor):
+        return self._H_const if self._H_const is not None else fact.H
+
+    def fact_jprod(self, fact: Factor, v):
+        """Canonical J @ v at the factorization point."""
+        return self.nlp.jprod_mat(self._fact_jc(fact), v)
+
+    def fact_jtprod(self, fact: Factor, w):
+        """Canonical J^T @ w at the factorization point."""
+        return self.nlp.jtprod_mat(self._fact_jc(fact), w)
+
+    def fact_hmul(self, fact: Factor, v):
+        """Lagrangian-Hessian product H @ v at the factorization point."""
+        return self._fact_h(fact) @ v
+
+    def _store_jc(self, Jc):
+        """Value stored in Factor.Jc: a (0, 0) placeholder when the true
+        Jacobian is a folded compile-time constant (constant_jac and not
+        parametric) — carrying it per instance would duplicate it across
+        the batch and the while-loop double buffer."""
+        if self._Jc_const is not None:
+            return jnp.zeros((0, 0), self.dtype)
+        return Jc
+
+    def _store_h(self, H):
+        if self._H_const is not None:
+            return jnp.zeros((0, 0), self.dtype)
+        return H
+
     def finalize_solver(self, L):
         """Turn a successful Cholesky factor into the solve operator.
 
@@ -452,7 +496,8 @@ class OnePhaseKernel:
             K = jnp.block([[H, Jcan.T],
                            [Jcan, -jnp.diag(p.s / p.y)]])
             schur_diag = jnp.diagonal(H) + nlp.jtdj_diag(Jc, p.y / p.s)
-            return Factor(Jc=Jc, H=H, Q=K, schur_diag=schur_diag,
+            return Factor(Jc=self._store_jc(Jc), H=self._store_h(H), Q=K,
+                          schur_diag=schur_diag,
                           L=prev.L, D=prev.D, delta=prev.delta,
                           s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
         if self.kkt_type == "clever_symmetric":
@@ -485,7 +530,8 @@ class OnePhaseKernel:
             if r is not None:
                 K = r[:, None] * K * r[None, :]
             schur_diag = jnp.diagonal(H) + nlp.jtdj_diag(Jc, p.y / p.s)
-            return Factor(Jc=Jc, H=H, Q=K, schur_diag=schur_diag,
+            return Factor(Jc=self._store_jc(Jc), H=self._store_h(H), Q=K,
+                          schur_diag=schur_diag,
                           L=prev.L, D=prev.D, delta=prev.delta,
                           s_f=p.s, y_f=p.y, ok=jnp.asarray(False), rescale=r)
         use_pallas = self.pars.kkt.linear_solver_type == "pallas"
@@ -503,7 +549,7 @@ class OnePhaseKernel:
         else:
             Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas,
                                mxu_dtype=mxu)
-        return Factor(Jc=Jc, H=H, Q=Q,
+        return Factor(Jc=self._store_jc(Jc), H=self._store_h(H), Q=Q,
                       schur_diag=jnp.diagonal(Q).astype(self.dtype),
                       L=prev.L, D=prev.D, delta=prev.delta, s_f=p.s, y_f=p.y,
                       ok=jnp.asarray(False))
@@ -526,8 +572,8 @@ class OnePhaseKernel:
             return self._refine_solve_hp(fact, schur_rhs, S_vec)
 
         def residual(dx):
-            jac_res = nlp.jtprod_mat(fact.Jc, S_vec * nlp.jprod_mat(fact.Jc, dx))
-            hess_res = fact.H @ dx + fact.delta * dx
+            jac_res = self.fact_jtprod(fact, S_vec * self.fact_jprod(fact, dx))
+            hess_res = self.fact_hmul(fact, dx) + fact.delta * dx
             return schur_rhs - (jac_res + hess_res)
 
         if not self.pars.kkt.it_refine_adaptive:
@@ -570,13 +616,14 @@ class OnePhaseKernel:
             dx_hi, dx_lo = dsr.ds_add(dx_hi, dx_lo, e, jnp.zeros_like(e))
             # A dx = Jc^T (wc * (Jc dx)) + (bnd + delta) dx + H dx, all ds
             if nlp.m_orig > 0:
-                u_hi, u_lo = dsr.ds_matvec(fact.Jc, dx_hi, dx_lo)
+                u_hi, u_lo = dsr.ds_matvec(self._fact_jc(fact), dx_hi, dx_lo)
                 v_hi, v_e = dsr.two_prod(wc, u_hi)
                 v_lo = v_e + wc * u_lo
-                w_hi, w_lo = dsr.ds_matvec(fact.Jc.T, v_hi, v_lo)
+                w_hi, w_lo = dsr.ds_matvec(self._fact_jc(fact).T, v_hi,
+                                           v_lo)
             else:
                 w_hi, w_lo = zeros, zeros
-            h_hi, h_lo = dsr.ds_matvec(fact.H, dx_hi, dx_lo)
+            h_hi, h_lo = dsr.ds_matvec(self._fact_h(fact), dx_hi, dx_lo)
             d_hi, d_e = dsr.two_prod(diag_term, dx_hi)
             d_lo = d_e + diag_term * dx_lo
             a_hi, a_lo = dsr.ds_add(w_hi, w_lo, h_hi, h_lo)
@@ -652,7 +699,7 @@ class OnePhaseKernel:
             v = sol[self.n:]
             tmp = -(rhs_red + group_u * v)
             dy = sym_primal / u + (ratio / u) * tmp[seg]
-            jdx = nlp.jprod_mat(fact.Jc, dx)
+            jdx = self.fact_jprod(fact, dx)
             ds = jdx - primal_r
         elif self.kkt_type == "symmetric":
             # joint solve (symmetric.jl:59-83): K [dx; -dy] = [dual_r; sym_p]
@@ -672,13 +719,13 @@ class OnePhaseKernel:
                 res = rhs_full - k_mv(sol)
             dx = sol[:self.n]
             dy = -sol[self.n:]
-            jdx = nlp.jprod_mat(fact.Jc, dx)
+            jdx = self.fact_jprod(fact, dx)
             ds = jdx - primal_r
         else:
-            schur_rhs = dual_r + nlp.jtprod_mat(fact.Jc,
-                                                primal_r * S_vec + comp_r / s_f)
+            schur_rhs = dual_r + self.fact_jtprod(
+                fact, primal_r * S_vec + comp_r / s_f)
             dx = self.refine_solve(fact, schur_rhs)
-            jdx = nlp.jprod_mat(fact.Jc, dx)
+            jdx = self.fact_jprod(fact, dx)
             dy = -(jdx - sym_primal) * S_vec
             ds = jdx - primal_r
         dmu = -(1.0 - eta_mu) * p.mu
@@ -686,7 +733,8 @@ class OnePhaseKernel:
         direction = Dir(x=dx, y=dy, s=ds, mu=dmu, beta=dbeta)
 
         # a-posteriori KKT error ratio (kkt_system_solver.jl:49-96)
-        pred_lag = (fact.delta * dx + fact.H @ dx - nlp.jtprod_mat(fact.Jc, dy))
+        pred_lag = (fact.delta * dx + self.fact_hmul(fact, dx)
+                    - self.fact_jtprod(fact, dy))
         err_D = pred_lag - dual_r
         err_P = jdx - ds - primal_r
         err_mu = s_f * dy + y_f * ds - comp_r
@@ -1008,7 +1056,7 @@ class OnePhaseKernel:
             # gdx + 0.5 (dx^T H dx + sum (J dx)^2 y/s) + comp-penalty diff
             jdx_c = nlp.jprod(p.x, direction.x, st.pdata)
             j_gain = jnp.dot(jdx_c ** 2, p.y / p.s)
-            hdx = st.fact.H @ direction.x
+            hdx = self.fact_hmul(st.fact, direction.x)
             phi_red = gdx + 0.5 * (jnp.dot(direction.x, hdx) + j_gain)
             comp_pred1 = (p.s * p.y + direction.y * p.s + direction.s * p.y
                           - (p.mu + direction.mu))
@@ -1629,8 +1677,8 @@ class OnePhaseKernel:
                    if (self.kkt_type == "clever_symmetric"
                        and self.pars.kkt.kkt_system_rescale != "none")
                    else None)
-        return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
-                      H=jnp.zeros((n, n), dt),
+        return Factor(Jc=self._store_jc(jnp.zeros((self.nlp.m_orig, n), dt)),
+                      H=self._store_h(jnp.zeros((n, n), dt)),
                       Q=jnp.zeros((N, N), self.factor_store_dtype),
                       schur_diag=jnp.zeros(n, dt),
                       L=jnp.eye(N, dtype=self.factor_store_dtype),

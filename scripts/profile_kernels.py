@@ -96,12 +96,12 @@ def main():
                 t_pc, e = chain_time(
                     lambda X: pchol(Q + eps * (X + X.transpose(0, 2, 1))), L)
                 if e: fails.append(f"n={n} b={b} pallas_chol: {e}")
-                # batch-vectorized kernel via the custom-vmap dispatcher
+                # auto dispatcher under vmap (routes to XLA on hardware)
                 from onephase_tpu.ops.cholesky import chol_auto
                 bchol = jax.vmap(chol_auto)
                 t_bc, e = chain_time(
                     lambda X: bchol(Q + eps * (X + X.transpose(0, 2, 1)))[0], L)
-                if e: fails.append(f"n={n} b={b} batched_pallas_chol: {e}")
+                if e: fails.append(f"n={n} b={b} chol_auto_vmap: {e}")
 
             # --- inverse (finalize step) ---
             t_xi, e = chain_time(
@@ -114,7 +114,7 @@ def main():
                 if e: fails.append(f"n={n} b={b} pallas_inv: {e}")
                 binv = jax.vmap(tri_inv_gram_auto)
                 t_bi, e = chain_time(lambda X: binv(L + eps * X), Minv)
-                if e: fails.append(f"n={n} b={b} batched_pallas_inv: {e}")
+                if e: fails.append(f"n={n} b={b} inv_auto_vmap: {e}")
 
             # --- solve ---
             def tri2(r):

@@ -1,9 +1,22 @@
 #!/usr/bin/env python
 """ECON/Tax scenario-NLP parity campaign (reference benchmark-tables/
-table_ECON_one-phase.csv: ECON50 268 it, ECON125 250 it, ECON250 326 it,
-all Optimal; model benchmark/Tax-problem/tax1D.jl:6-36).
+table_ECON_one-phase.csv: ECON50 268 it / 13.7 s, ECON125 250 it / 83.5 s,
+ECON250 326 it / 489.8 s, all Optimal; model benchmark/Tax-problem/
+tax1D.jl:6-36, hardware: 1 core Xeon E5-2650v2).
 
-    python scripts/run_econ.py [--sizes 50,125,250] [--max-it 600]
+Default lane is the DEVICE (TPU through the ambient platform) in the
+mixed-precision layout that certifies tol 1e-6 on-chip: f64 state/oracles,
+f32 MXU factor with codified f64 fallback when the pivot check rejects
+(kkt.factor_precision="f32_fallback" + matmul_precision="highest";
+measured ECON50 -> Optimal in 84 its, identical to the CPU-f64 count).
+
+Each problem is solved twice: the first pass pays the jit compile (the
+persistent XLA cache makes it one-time per problem shape per machine),
+the second measures the warm/steady solve the way a campaign amortizes
+it.  Both walls are committed.
+
+    python scripts/run_econ.py                     # TPU, results/econ_tpu
+    python scripts/run_econ.py --platform cpu --test-name econ_one_phase
 """
 import argparse
 import json
@@ -18,32 +31,88 @@ def main():
     ap.add_argument("--sizes", default="50,125,250")
     ap.add_argument("--max-it", type=int, default=600)
     ap.add_argument("--out", default="results")
-    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--platform", default=None,
+                    help="cpu forces CPU; default = ambient (TPU)")
+    ap.add_argument("--test-name", default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--factor-precision", default="f32_fallback",
+                    choices=["same", "f32", "f32_fallback"])
+    ap.add_argument("--dtype", default="f64", choices=["f64", "f32"],
+                    help="solve dtype; f32 pairs with "
+                         "kkt.residual_precision=f64 for 1e-6 certification")
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the second (warm) pass")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_enable_x64", args.platform == "cpu")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
 
     from onephase_tpu.config import Params
     from onephase_tpu.harness import compare_to_reference, run_problems
     from onephase_tpu.models.tax import tax1d
+    from onephase_tpu.nlp import canonicalize
 
-    pars = Params().with_overrides({
+    test_name = args.test_name or (
+        "econ_tpu" if jax.default_backend() != "cpu" else "econ_one_phase")
+    overrides = {
         "output_level": 1, "term.max_it": args.max_it,
         "term.tol_opt": args.tol, "term.max_time": 3600.0,
-        "chunk_size": 25})
-    probs = {f"ECON{na}": tax1d(na=na)
+        "chunk_size": 50,
+        "kkt.factor_precision": args.factor_precision,
+        "kkt.it_refine_adaptive": args.factor_precision != "same"}
+    if args.dtype == "f32":
+        # f32 solve certified by f64 oracle residuals: the MXU/VPU hot path
+        # stays native f32, only the once-per-direction dual residual and
+        # the termination measurement run in (emulated) f64
+        overrides.update({"kkt.factor_precision": "same",
+                          "kkt.residual_precision": "f64"})
+    pars = Params().with_overrides(overrides)
+    dt = jnp.float32 if args.dtype == "f32" else jnp.float64
+    probs = {f"ECON{na}": canonicalize(tax1d(na=na), dtype=dt)
              for na in (int(s) for s in args.sizes.split(","))}
-    summary = run_problems(probs, "econ_one_phase", pars=pars,
-                           out_root=args.out)
+
+    # kernel-caching solve wrapper: the warm pass reuses the compiled
+    # OnePhaseKernel, so it measures the amortized per-solve wall a
+    # campaign of same-shape instances sees (jit compile paid once)
+    from onephase_tpu.solver import one_phase_solve
+    _kernels = {}
+
+    def solve_cached(spec, prs, options=None):
+        key = getattr(getattr(spec, "spec", spec), "name", id(spec))
+        r = one_phase_solve(spec, prs, options, kernel=_kernels.get(key))
+        _kernels[key] = r.kernel
+        return r
+
+    summary = run_problems(probs, test_name, pars=pars, out_root=args.out,
+                           solve_func=solve_cached)
+    if not args.no_warm:
+        warm = run_problems(probs, test_name + "_warm", pars=pars,
+                            out_root=args.out, solve_func=solve_cached)
+    else:
+        warm = summary
+
     ref = "/root/reference/benchmark-tables/table_ECON_one-phase.csv"
     report = compare_to_reference(summary, ref) if os.path.isfile(ref) else {}
-    path = os.path.join(args.out, "econ_parity.json")
+    REF_WALL = {"ECON50": 13.7, "ECON125": 83.5, "ECON250": 489.8}
+    for name, rec in report.items():
+        rec["ours_wall_cold_s"] = round(summary[name].total_time, 1)
+        rec["ours_wall_warm_s"] = round(warm[name].total_time, 1)
+        if name in REF_WALL:
+            rec["ref_wall_s"] = REF_WALL[name]
+            rec["speedup_warm"] = round(
+                REF_WALL[name] / max(warm[name].total_time, 1e-9), 2)
+    out = {"platform": jax.default_backend(),
+           "factor_precision": args.factor_precision,
+           "tol": args.tol,
+           "per_problem": report}
+    path = os.path.join(args.out, f"{test_name}_parity.json")
     with open(path, "w") as fh:
-        json.dump(report, fh, indent=1)
-    print(json.dumps(report, indent=1))
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

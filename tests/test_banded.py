@@ -118,6 +118,56 @@ def test_banded_sharded_matches_unsharded():
                                atol=1e-8)
 
 
+def test_matrix_free_band_matches_assembled():
+    """matrix_free probing must produce the SAME (Qd, Qs) band blocks as
+    the dense assembly, and the same Newton direction (VERDICT r2 item 6:
+    no dense J/H anywhere in the factor path)."""
+    nlp = _chain_nlp()
+    pars = _pars()
+    bk = BandedKernel(nlp, pars)
+    mk = BandedKernel(nlp, pars, matrix_free=True)
+
+    st_b, st_m = bk.initial_state(), mk.initial_state()
+    f_b = bk.form_factor(st_b.p, st_b.cache, st_b.fact)
+    f_m = mk.form_factor(st_m.p, st_m.cache, st_m.fact)
+    np.testing.assert_allclose(np.asarray(f_m.Q[0]), np.asarray(f_b.Q[0]),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(f_m.Q[1]), np.asarray(f_b.Q[1]),
+                               atol=1e-8)
+    # factor slots hold the linearization point, not matrices
+    assert np.asarray(f_m.Jc).shape == (nlp.n,)
+    assert np.asarray(f_m.H).shape == ()
+
+    delta = 1e-8
+    LD_b, _ = bk.factor(f_b.Q, delta)
+    LD_m, ok_m = mk.factor(f_m.Q, delta)
+    assert bool(ok_m)
+    f_b = f_b._replace(L=LD_b[0], D=LD_b[1],
+                       delta=jnp.asarray(delta, bk.dtype))
+    f_m = f_m._replace(L=LD_m[0], D=LD_m[1],
+                       delta=jnp.asarray(delta, mk.dtype))
+    d_b, _ = bk.compute_direction(f_b, st_b.p, st_b.cache, 0.0, 0.0, 0.0)
+    d_m, r_m = mk.compute_direction(f_m, st_m.p, st_m.cache, 0.0, 0.0, 0.0)
+    for fld in ("x", "y", "s"):
+        a, b = np.asarray(getattr(d_m, fld)), np.asarray(getattr(d_b, fld))
+        assert np.abs(a - b).max() / (1 + np.abs(a).max()) < 1e-7, fld
+    assert float(r_m) < 1e-8
+
+
+def test_matrix_free_end_to_end_matches_dense():
+    nlp = _chain_nlp()
+    pars = _pars()
+    mk = BandedKernel(nlp, pars, matrix_free=True)
+    st = mk.run_chunk(mk.initial_state())
+    assert int(st.status) == OPTIMAL
+
+    from onephase_tpu import one_phase_solve
+    r = one_phase_solve(nlp, pars)
+    assert r.status == "Optimal"
+    np.testing.assert_allclose(np.asarray(st.p.x), r.x, atol=1e-5)
+    assert abs(int(st.t) - 1 - r.iterations) <= 1
+
+
 def test_rcm_recovers_band_from_scrambled_order():
     """Random variable permutation destroys the natural band; the native
     RCM ordering must recover a bandwidth far below n, and the solve must

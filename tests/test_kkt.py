@@ -173,25 +173,17 @@ def test_end_to_end_pallas_solver_interpret():
 
 
 def test_batched_pallas_kernels_interpret():
-    """Batch-vectorized chol/inverse kernels (interpret mode) vs numpy."""
+    """vmapped dispatch of the auto kernels (the hand-written batched
+    Mosaic kernels were deleted after losing AND crashing at every
+    measured shape — results/profile_kernels_tpu.md is the record; the
+    custom-vmap dispatcher routes batches to XLA on hardware and to
+    lax.map of the single-shape kernel in interpret mode)."""
     import onephase_tpu.ops as ops
-    from onephase_tpu.ops.cholesky import (pallas_chol_batched,
-                                           pallas_tri_inv_gram_batched)
     rng = np.random.default_rng(5)
     b, n = 3, 40
     A = rng.normal(size=(b, n, n)).astype(np.float32)
     Q = jnp.asarray(A @ A.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32))
-    L, d, ok = pallas_chol_batched(Q, interpret=True)
-    assert bool(jnp.all(ok))
     Lnp = np.linalg.cholesky(np.asarray(Q))
-    assert float(jnp.max(jnp.abs(L - Lnp)) / np.abs(Lnp).max()) < 5e-5
-    M = pallas_tri_inv_gram_batched(L, interpret=True)
-    resid = np.einsum("bij,bjk->bik", np.asarray(Q), np.asarray(M)) - np.eye(n)
-    assert np.abs(resid).max() < 5e-4
-    # per-instance non-PD detection
-    Qbad = Q.at[1].add(-2.0 * n * jnp.eye(n))
-    _, _, okb = pallas_chol_batched(Qbad, interpret=True)
-    assert bool(okb[0]) and not bool(okb[1]) and bool(okb[2])
     # the custom-vmap dispatcher under vmap (interpret -> lax.map path)
     from onephase_tpu.ops.cholesky import chol_auto
     ops.INTERPRET = True
