@@ -23,6 +23,14 @@ from ..nlp import NLPSpec
 INF = np.inf
 
 
+def _offdiag(M, na):
+    """Row-major off-diagonal elements of an (na, na) matrix WITHOUT a
+    gather: flat[1:].reshape(na-1, na+1)[:, :-1] is exactly the
+    nonzero(~eye) row-major order.  Gathers over 62k indices are slow on
+    TPU (especially under emulated f64); this lowers to strided slices."""
+    return M.reshape(-1)[1:].reshape(na - 1, na + 1)[:, :-1].reshape(-1)
+
+
 def tax1d(na: int = 50, mu_exp: float = 1.0, lam: float = 1.0) -> NLPSpec:
     w = np.linspace(1.0, float(na), na)          # wages w_i = 1..na
     w_j = jnp.asarray(w)
@@ -38,7 +46,7 @@ def tax1d(na: int = 50, mu_exp: float = 1.0, lam: float = 1.0) -> NLPSpec:
         own = jnp.log(c) - (y / w_j) ** mu1 / mu1
         return -lam * jnp.sum(own)
 
-    # off-diagonal mask for the na*(na-1) incentive rows
+    # na*(na-1) incentive rows in nonzero(~eye) row-major order
     iu = np.nonzero(~np.eye(na, dtype=bool))
     iu_r = jnp.asarray(iu[0])
     iu_c = jnp.asarray(iu[1])
@@ -47,13 +55,35 @@ def tax1d(na: int = 50, mu_exp: float = 1.0, lam: float = 1.0) -> NLPSpec:
         c, y = z[:na], z[na:]
         U = util_matrix(c, y)
         own = jnp.diagonal(U)
-        ic = own[iu_r] - U[iu_r, iu_c]            # u_i(own) - u_i(p's bundle)
+        ic = _offdiag(own[:, None] - U, na)       # u_i(own) - u_i(p's bundle)
         resource = lam * jnp.sum(y - c)
         return jnp.concatenate([ic, resource[None]])
 
+    def jac(z):
+        # Analytic Jacobian (the reference consumes CUTEst/JuMP analytic
+        # Jacobians the same way, Class_cutest.jl:451-503).  IC row (i,p):
+        #   d/dc_i = 1/c_i         d/dc_p = -1/c_p
+        #   d/dy_i = -y_i^mu/w_i^(mu+1)   d/dy_p = +y_p^mu/w_i^(mu+1)
+        # resource row: d/dc = -lam, d/dy = +lam.  Built by 4 static
+        # scatter-adds — no jacfwd (500 jvp lanes) in the hot loop.
+        c, y = z[:na], z[na:]
+        m = na * (na - 1) + 1
+        inv_c = 1.0 / c
+        ypow = y ** mu_exp
+        wpow = w_j ** mu1
+        rows = jnp.arange(na * (na - 1))
+        J = jnp.zeros((m, 2 * na), z.dtype)
+        J = J.at[rows, iu_r].add(inv_c[iu_r])
+        J = J.at[rows, iu_c].add(-inv_c[iu_c])
+        J = J.at[rows, na + iu_r].add(-ypow[iu_r] / wpow[iu_r])
+        J = J.at[rows, na + iu_c].add(ypow[iu_c] / wpow[iu_r])
+        J = J.at[m - 1, :na].set(-lam)
+        J = J.at[m - 1, na:].set(lam)
+        return J
+
     m = na * (na - 1) + 1
     return NLPSpec(
-        f=f, c=c_fn,
+        f=f, c=c_fn, jac=jac,
         lcon=np.zeros(m), ucon=np.full(m, INF),
         lvar=np.zeros(2 * na), uvar=np.full(2 * na, INF),
         x0=np.ones(2 * na), name=f"ECON{na}")

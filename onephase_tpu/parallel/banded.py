@@ -77,9 +77,14 @@ class BandedKernel(OnePhaseKernel):
                  matrix_free: bool = False, pattern: np.ndarray = None):
         if pars.kkt.kkt_solver_type != "schur":
             raise ValueError("BandedKernel implements the schur path only")
-        if pars.kkt.linear_solver_type != "xla":
+        if pars.kkt.linear_solver_type not in ("xla", "pallas"):
             raise ValueError("BandedKernel has its own block solve path; "
-                             "set kkt.linear_solver_type='xla'")
+                             "set kkt.linear_solver_type='xla' (scan) or "
+                             "'pallas' (single-kernel VMEM recursion)")
+        self.use_pallas = pars.kkt.linear_solver_type == "pallas"
+        if self.use_pallas and int(pars.kkt.chain_partitions) > 1:
+            raise ValueError("pallas tridiag backend is sequential; "
+                             "incompatible with chain_partitions > 1")
         if pars.kkt.factor_precision != "same":
             raise ValueError("BandedKernel supports factor_precision='same'")
         if matrix_free:
@@ -283,11 +288,20 @@ class BandedKernel(OnePhaseKernel):
                       L=prev.L, D=prev.D, delta=prev.delta,
                       s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
 
+    def finalize_solver(self, L):
+        # the structured factor IS the solve operator (block tuple); the
+        # dense kernel's pallas/invchol finalize paths do not apply
+        return L
+
     def factor(self, Q, delta, rescale=None):
         Qd, Qs = Q
         if self.partitions > 1:
             pf = partitioned_factor(Qd, Qs, delta, self.partitions)
             return (self._shard_chunks(pf), jnp.zeros(1, Qd.dtype)), pf.ok
+        if self.use_pallas:
+            from ..ops.tridiag_pallas import pallas_tridiag_factor
+            Ck, Ci, Ek, ok = pallas_tridiag_factor(Qd, Qs, delta)
+            return ((Ci, Ek), jnp.zeros(1, Qd.dtype)), ok
         f = tridiag_factor(Qd, Qs, delta)
         return ((f.Ck, f.Ek), jnp.zeros(1, Qd.dtype)), f.ok
 
@@ -300,6 +314,10 @@ class BandedKernel(OnePhaseKernel):
         bp = bp.reshape(K, nb)
         if self.partitions > 1:
             xp = partitioned_solve(L, bp)
+        elif self.use_pallas:
+            from ..ops.tridiag_pallas import pallas_tridiag_solve
+            Ci, Ek = L
+            xp = pallas_tridiag_solve(Ci, Ek, bp)
         else:
             Ck, Ek = L
             xp = tridiag_solve(TridiagFactor(Ck, Ek, jnp.asarray(True)), bp)

@@ -93,9 +93,14 @@ class ChainKernel(OnePhaseKernel):
         nlp = canonicalize(spec.to_nlpspec(), dtype=dtype)
         if pars.kkt.kkt_solver_type != "schur":
             raise ValueError("ChainKernel implements the schur path only")
-        if pars.kkt.linear_solver_type != "xla":
+        if pars.kkt.linear_solver_type not in ("xla", "pallas"):
             raise ValueError("ChainKernel has its own block solve path; "
-                             "set kkt.linear_solver_type='xla'")
+                             "set kkt.linear_solver_type='xla' (scan) or "
+                             "'pallas' (single-kernel VMEM recursion)")
+        self.use_pallas = pars.kkt.linear_solver_type == "pallas"
+        if self.use_pallas and int(pars.kkt.chain_partitions) > 1:
+            raise ValueError("pallas tridiag backend is sequential; "
+                             "incompatible with chain_partitions > 1")
         self.partitions = int(pars.kkt.chain_partitions)
         if self.partitions > 1 and (spec.K % self.partitions
                                     or spec.K // self.partitions < 2):
@@ -189,17 +194,32 @@ class ChainKernel(OnePhaseKernel):
                       L=prev.L, D=prev.D, delta=prev.delta,
                       s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
 
+    def finalize_solver(self, L):
+        # the structured factor IS the solve operator (block tuple); the
+        # dense kernel's pallas/invchol finalize paths do not apply
+        return L
+
     def factor(self, Q, delta, rescale=None):
         Qd, Qs = Q
         if self.partitions > 1:
             pf = partitioned_factor(Qd, Qs, delta, self.partitions)
             return (self._shard_chunks(pf), jnp.zeros(1, Qd.dtype)), pf.ok
+        if self.use_pallas:
+            from ..ops.tridiag_pallas import pallas_tridiag_factor
+            Ck, Ci, Ek, ok = pallas_tridiag_factor(Qd, Qs, delta)
+            # L slot carries (Ci, Ek): the solve is pure matmuls
+            return ((Ci, Ek), jnp.zeros(1, Qd.dtype)), ok
         f = tridiag_factor(Qd, Qs, delta)
         return ((f.Ck, f.Ek), jnp.zeros(1, Qd.dtype)), f.ok
 
     def _tri_solve(self, fact, rhs):
         if self.partitions > 1:
             return partitioned_solve(fact.L, self._split_x(rhs)).reshape(-1)
+        if self.use_pallas:
+            from ..ops.tridiag_pallas import pallas_tridiag_solve
+            Ci, Ek = fact.L
+            return pallas_tridiag_solve(Ci, Ek,
+                                        self._split_x(rhs)).reshape(-1)
         Ck, Ek = fact.L
         f = TridiagFactor(Ck=Ck, Ek=Ek, ok=jnp.asarray(True))
         return tridiag_solve(f, self._split_x(rhs)).reshape(-1)

@@ -42,6 +42,10 @@ def main():
                          "kkt.residual_precision=f64 for 1e-6 certification")
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the second (warm) pass")
+    ap.add_argument("--chunk-size", type=int, default=50,
+                    help="outer iterations per jitted chunk (ECON250 on "
+                         "the TPU worker needs <= 5: larger while-loop "
+                         "programs at m=62k f64 crash the worker)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +65,7 @@ def main():
     overrides = {
         "output_level": 1, "term.max_it": args.max_it,
         "term.tol_opt": args.tol, "term.max_time": 3600.0,
-        "chunk_size": 50,
+        "chunk_size": args.chunk_size,
         "kkt.factor_precision": args.factor_precision,
         "kkt.it_refine_adaptive": args.factor_precision != "same"}
     if args.dtype == "f32":
