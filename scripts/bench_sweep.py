@@ -8,9 +8,13 @@ sweep measures the full jitted IPM (formation + factorization + direction
 solve + line search), not an isolated kernel, on random strictly-convex
 QPs (bench.make_qp).
 
-Per (n, batch) config we report:
+Per (n, batch) config we report (round 3: over CERTIFIED solves — the
+run goes to termination and statuses are recorded; a row whose batch does
+not fully certify says so):
+  - statuses       status histogram + solved count
   - fac/s          KKT factorizations per second (BASELINE.json metric)
   - iter/s         outer iterations per second (sum over batch)
+  - solves/s       certified solves per second
   - model GFLOP/s  achieved, from a per-iteration dense-path FLOP model:
        Q form   2 m_c n^2   (J^T diag J, canonical rows m_c)
        factor   n^3/3 per factorization
@@ -68,21 +72,27 @@ def run_config(n, m, batch, pars_over, dtype):
     rng = np.random.default_rng(1)
     x0s = rng.normal(size=(batch, nlp.n)) * 0.1
 
+    from onephase_tpu.ipm.state import OPTIMAL, RUNNING, STATUS_NAMES
+
     t0 = time.perf_counter()
     st = solver.init(x0s)
     st = solver.run_chunk(st)
     jax.block_until_ready(st)
     compile_s = time.perf_counter() - t0
 
+    max_chunks = (pars.term.max_it + pars.chunk_size - 1) // pars.chunk_size
     st = solver.init(x0s)
     jax.block_until_ready(st)
     t0 = time.perf_counter()
-    n_chunks = 3
-    for _ in range(n_chunks):
+    for _ in range(max_chunks):
         st = solver.run_chunk(st)
+        if not (np.asarray(st.status) == RUNNING).any():
+            break
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
 
+    statuses = [STATUS_NAMES[int(c)] for c in np.asarray(st.status)]
+    solved = int(np.sum(np.asarray(st.status) == OPTIMAL))
     total_fac = int(jnp.sum(st.cum_fac))
     total_outer = int(jnp.sum(jnp.minimum(st.t - 1, 60)))
     m_canon = nlp.m  # canonical rows incl. bound rows
@@ -91,9 +101,12 @@ def run_config(n, m, batch, pars_over, dtype):
     return {
         "n": n, "m": m, "batch": batch, "m_canon": int(m_canon),
         "time_s": round(dt, 3), "compile_s": round(compile_s, 1),
+        "solved": solved,
+        "statuses": {c: statuses.count(c) for c in sorted(set(statuses))},
         "total_fac": total_fac, "total_outer": total_outer,
         "fac_per_s": round(total_fac / dt, 1),
         "iter_per_s": round(total_outer / dt, 1),
+        "solves_per_s": round(solved / dt, 1),
         "model_gflop_per_s": round(model_flop / dt / 1e9, 1),
         "mfu_f32_pct": round(100.0 * model_flop / dt / PEAK_F32, 2),
         "mfu_bf16_pct": round(100.0 * model_flop / dt / PEAK_BF16, 2),
@@ -109,6 +122,9 @@ def main():
                     help="kkt.linear_solver_type")
     ap.add_argument("--qform", default="same",
                     help="kkt.q_form_dtype (same|bf16)")
+    ap.add_argument("--precision", default="highest",
+                    help="Params.matmul_precision (default|high|highest) — "
+                         "lanes for measuring the MXU-precision cost")
     ap.add_argument("--out", default="results/bench_sweep.json")
     args = ap.parse_args()
 
@@ -124,10 +140,11 @@ def main():
     rows = []
     for n in sizes:
         for batch in batches:
-            # HBM guard: batch copies of Q (n^2) + J (m_c x n); skip > ~12GB
+            # HBM guard: per instance the state carries Q + L/M (2 n^2;
+            # J/H are folded constants since the r3 placeholder fix),
+            # double-buffered by the while loop; skip > ~12GB
             m = n // 2
-            m_canon_est = m + 2 * n
-            bytes_est = batch * (3 * n * n + 2 * m_canon_est * n) * 4
+            bytes_est = batch * (2 * n * n) * 4 * 2.5
             if bytes_est > 12e9:
                 rows.append({"n": n, "batch": batch, "skipped": "memory"})
                 print(f"n={n} batch={batch}: skipped (est {bytes_est/1e9:.1f} GB)",
@@ -136,14 +153,16 @@ def main():
             try:
                 r = run_config(n, m, batch,
                                {"kkt.linear_solver_type": args.lst,
-                                "kkt.q_form_dtype": args.qform}, dtype)
+                                "kkt.q_form_dtype": args.qform,
+                                "matmul_precision": args.precision}, dtype)
             except Exception as e:  # noqa: BLE001
                 rows.append({"n": n, "batch": batch,
                              "error": str(e).split("\n")[0][:200]})
                 print(f"n={n} batch={batch}: ERROR {e}", flush=True)
                 continue
             rows.append(r)
-            print(f"n={n} batch={batch}: {r['fac_per_s']} fac/s, "
+            print(f"n={n} batch={batch}: {r['solved']}/{batch} Optimal, "
+                  f"{r['fac_per_s']} fac/s, {r['solves_per_s']} solves/s, "
                   f"{r['model_gflop_per_s']} GFLOP/s, "
                   f"MFU(f32) {r['mfu_f32_pct']}% (compile {r['compile_s']}s)",
                   flush=True)
@@ -151,25 +170,28 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     payload = {"device": str(dev), "linear_solver_type": args.lst,
                "q_form_dtype": args.qform,
+               "matmul_precision": args.precision,
                "dtype": "float32", "tol_opt": 1e-4, "max_it": 60,
                "peak_f32": PEAK_F32, "peak_bf16": PEAK_BF16, "rows": rows}
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
     md = args.out.replace(".json", ".md")
     with open(md, "w") as fh:
-        fh.write(f"# Bench sweep — {dev}, {args.lst}, f32, tol 1e-4"
+        fh.write(f"# Bench sweep — {dev}, {args.lst}, f32, tol 1e-4, "
+                 f"matmul {args.precision}"
                  + (f", Q in {args.qform}" if args.qform != "same" else "")
                  + "\n\n")
-        fh.write("| n | batch | fac/s | iter/s | GFLOP/s | MFU f32 % | MFU bf16 % | time s |\n")
-        fh.write("|---|---|---|---|---|---|---|---|\n")
+        fh.write("| n | batch | solved | fac/s | iter/s | solves/s | GFLOP/s | MFU f32 % | time s |\n")
+        fh.write("|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             if "fac_per_s" in r:
-                fh.write(f"| {r['n']} | {r['batch']} | {r['fac_per_s']} | "
-                         f"{r['iter_per_s']} | {r['model_gflop_per_s']} | "
-                         f"{r['mfu_f32_pct']} | {r['mfu_bf16_pct']} | "
-                         f"{r['time_s']} |\n")
+                fh.write(f"| {r['n']} | {r['batch']} | "
+                         f"{r['solved']}/{r['batch']} | {r['fac_per_s']} | "
+                         f"{r['iter_per_s']} | {r['solves_per_s']} | "
+                         f"{r['model_gflop_per_s']} | "
+                         f"{r['mfu_f32_pct']} | {r['time_s']} |\n")
             else:
-                fh.write(f"| {r['n']} | {r['batch']} | — | — | — | — | — | "
+                fh.write(f"| {r['n']} | {r['batch']} | — | — | — | — | — | — | "
                          f"{r.get('skipped') or r.get('error')} |\n")
     print(f"wrote {args.out} and {md}")
 

@@ -79,6 +79,25 @@ def test_multihost_campaign_shard_and_merge(tmp_path, base_pars):
     assert set(h0).isdisjoint(h1) and set(h0) | set(h1) == set(probs)
 
 
+def test_multihost_empty_shard_still_merges(tmp_path, base_pars):
+    """process_count > #problems: a host with an EMPTY round-robin shard
+    must still write its summary.json up front, or the merge scan waits
+    forever (ADVICE r2 medium fix)."""
+    from onephase_tpu.harness import run_problems_multihost
+    from onephase_tpu.models import zoo
+    probs = {"lp1": zoo.toy_lp1(), "lp2": zoo.toy_lp2()}
+    outs = []
+    for pi in range(3):          # 3 hosts, 2 problems: host 2's shard empty
+        outs.append(run_problems_multihost(
+            probs, "mh_empty", pars=base_pars, out_root=str(tmp_path),
+            process_index=pi, process_count=3))
+    merged = next(o for o in outs if o is not None)
+    assert set(merged) == set(probs)
+    # the empty shard produced its (empty) summary file
+    h2 = json.load(open(tmp_path / "mh_empty" / "host2" / "summary.json"))
+    assert h2 == {}
+
+
 def test_compare_to_reference(tmp_path, base_pars):
     from onephase_tpu.models import zoo
     ref_csv = tmp_path / "ref.csv"
