@@ -67,7 +67,11 @@ def main():
         "term.tol_opt": args.tol, "term.max_time": 3600.0,
         "chunk_size": args.chunk_size,
         "kkt.factor_precision": args.factor_precision,
-        "kkt.it_refine_adaptive": args.factor_precision != "same"}
+        "kkt.it_refine_adaptive": args.factor_precision != "same",
+        # 1e-12 relative Schur residual is plenty for tol 1e-6 KKT
+        # (iteration counts invariant, measured); the default 10*eps64
+        # target costs ~7 f64 J-matvec refinement passes per direction
+        "kkt.it_refine_tol": 1e-12}
     if args.dtype == "f32":
         # f32 solve certified by f64 oracle residuals: the MXU/VPU hot path
         # stays native f32, only the once-per-direction dual residual and
