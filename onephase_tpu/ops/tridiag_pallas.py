@@ -1,20 +1,23 @@
-"""Pallas block-tridiagonal Cholesky: the whole K-step recursion in one
-kernel launch.
+"""Pallas block-tridiagonal solve (+ a full factor kernel, kept with its
+measured verdict).
 
-Why hand-write this one (and not the dense factorizations, where XLA wins
-— results/profile_kernels_tpu.md): `block_tridiag.tridiag_factor` is a
-`lax.scan` of K tiny dense steps (nb x nb Cholesky + triangular solve +
-matmul).  On TPU each scan step round-trips HBM and pays per-op dispatch,
-so the factorization is latency-bound: the arithmetic per step (~nb^3
-FLOPs) is microseconds while the step overhead is not.  Here the entire
-band lives in VMEM across a sequential grid (TPU grid steps execute in
-order and scratch persists), so the K-recursion runs at register/VMEM
-speed with zero HBM round-trips between steps.
+Measured on v5e (results/profile_tridiag_tpu.md, chained-apply timing):
 
-The kernel also emits each block's inverse C_k^{-1} (a by-product of the
-in-register factorization), so `pallas_tridiag_solve`'s two sweeps are
-pure (nb x nb) matmuls — the same explicit-inverse design as the dense
-`invchol` backend (triangular solves are latency-bound on TPU).
+- `pallas_tridiag_solve` — the two solve sweeps as sequential-grid Pallas
+  kernels whose per-step work is a single (nb, nb) MXU matmul against the
+  block INVERSES — **wins 1.2-3.6x over the XLA two-scan triangular
+  solves, growing with K** (triangular solves are latency-bound on TPU;
+  same explicit-inverse design as the dense `invchol` backend).  With ~10
+  backsolves per outer iteration (docs/one-phase.tex:908) this is the hot
+  op of the chain/banded paths.
+- `pallas_tridiag_factor` — the whole K-step recursion in one launch —
+  **loses 0.2-0.9x**: XLA's `lax.scan` factor is already on-chip and
+  fused, while the in-kernel unblocked Cholesky is VPU-bound masked
+  arithmetic.  Kept as the measured record and for interpret-mode tests;
+  production uses the hybrid: XLA `tridiag_factor` + `block_inverses`
+  (one K-batched trisolve) + the Pallas solve, which is what
+  ChainKernel/BandedKernel dispatch under `kkt.linear_solver_type=
+  "pallas"`.
 
 Numerical protocol matches `tridiag_factor` (julia.jl:28-46 blockwise):
     C_0 = chol(A_0 + delta I)
@@ -22,8 +25,6 @@ Numerical protocol matches `tridiag_factor` (julia.jl:28-46 blockwise):
     C_{k+1} = chol(A_{k+1} + delta I - E_k E_k^T)
 ok = every block pivot positive; signalled through the signed diagonal
 (d < 0 on the failing block), so no scalar output is needed.
-
-Used by ChainKernel/BandedKernel when `kkt.linear_solver_type="pallas"`.
 """
 
 from __future__ import annotations
@@ -37,6 +38,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cholesky import _round_up, _tri_inv_unblocked, _unblocked_chol
+
+
+def block_inverses(Ck):
+    """C_k^{-1} for every diagonal Cholesky block — one K-batched
+    triangular solve against the identity (parallel over K).  Feeds
+    `pallas_tridiag_solve` from an XLA `tridiag_factor`: the profiled
+    hybrid backend (results/profile_tridiag_tpu.md — XLA wins the factor,
+    the Pallas matmul sweeps win the solve 1.2-3.6x)."""
+    K, nb, _ = Ck.shape
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=Ck.dtype), (K, nb, nb))
+    return jax.scipy.linalg.solve_triangular(Ck, eye, lower=True)
 
 
 def _factor_kernel(ad_ref, bs_ref, ck_ref, ci_ref, ek_ref, d_ref, e_scr):

@@ -299,9 +299,12 @@ class BandedKernel(OnePhaseKernel):
             pf = partitioned_factor(Qd, Qs, delta, self.partitions)
             return (self._shard_chunks(pf), jnp.zeros(1, Qd.dtype)), pf.ok
         if self.use_pallas:
-            from ..ops.tridiag_pallas import pallas_tridiag_factor
-            Ck, Ci, Ek, ok = pallas_tridiag_factor(Qd, Qs, delta)
-            return ((Ci, Ek), jnp.zeros(1, Qd.dtype)), ok
+            # hybrid: XLA scan factor + Pallas matmul-sweep solve
+            # (results/profile_tridiag_tpu.md)
+            from ..ops.tridiag_pallas import block_inverses
+            f = tridiag_factor(Qd, Qs, delta)
+            return ((block_inverses(f.Ck), f.Ek),
+                    jnp.zeros(1, Qd.dtype)), f.ok
         f = tridiag_factor(Qd, Qs, delta)
         return ((f.Ck, f.Ek), jnp.zeros(1, Qd.dtype)), f.ok
 

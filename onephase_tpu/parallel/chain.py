@@ -205,10 +205,15 @@ class ChainKernel(OnePhaseKernel):
             pf = partitioned_factor(Qd, Qs, delta, self.partitions)
             return (self._shard_chunks(pf), jnp.zeros(1, Qd.dtype)), pf.ok
         if self.use_pallas:
-            from ..ops.tridiag_pallas import pallas_tridiag_factor
-            Ck, Ci, Ek, ok = pallas_tridiag_factor(Qd, Qs, delta)
-            # L slot carries (Ci, Ek): the solve is pure matmuls
-            return ((Ci, Ek), jnp.zeros(1, Qd.dtype)), ok
+            # hybrid backend (profiled: results/profile_tridiag_tpu.md):
+            # XLA's scan FACTOR wins, the Pallas matmul-sweep SOLVE wins
+            # 1.2-3.6x — so factor with the scan, invert the diagonal
+            # blocks (one K-batched trisolve), and hand (Ci, Ek) to the
+            # Pallas solve.  Backsolves are the hot op (~10/outer it).
+            from ..ops.tridiag_pallas import block_inverses
+            f = tridiag_factor(Qd, Qs, delta)
+            return ((block_inverses(f.Ck), f.Ek),
+                    jnp.zeros(1, Qd.dtype)), f.ok
         f = tridiag_factor(Qd, Qs, delta)
         return ((f.Ck, f.Ek), jnp.zeros(1, Qd.dtype)), f.ok
 
