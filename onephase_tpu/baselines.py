@@ -127,9 +127,11 @@ def scipy_linprog_solve(problem, pars: Optional[Params] = None,
         [b if np.isfinite(b) else None for b in d.uvar]))
 
     t0 = time.time()
+    # the IPM's max_it (outer interior-point iterations) is NOT a sensible
+    # simplex pivot budget; give the industrial lane its own headroom
     res = linprog(d.cvec, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
                   bounds=bounds, method="highs",
-                  options={"maxiter": pars.term.max_it})
+                  options={"maxiter": max(10000, pars.term.max_it)})
     wall = time.time() - t0
     # highs status: 0 optimal, 1 iteration limit, 2 infeasible, 3 unbounded
     code = {0: OPTIMAL, 1: MAX_IT, 2: PRIMAL_INFEASIBLE,

@@ -143,12 +143,19 @@ def bucket_shapes(datas: Sequence[LPData], round_to: int = 64) -> Dict[Tuple[int
     return buckets
 
 
+_SOLVER_CACHE: Dict[tuple, tuple] = {}
+
+
 def solve_bucketed(problems: Dict[str, LPData],
                    pars: Optional[Params] = None,
                    round_to: int = 64,
                    max_batch: int = 256,
                    dtype=None) -> Dict[str, BucketResult]:
-    """Solve a heterogeneous dict of LPs as shape-bucketed vmapped batches."""
+    """Solve a heterogeneous dict of LPs as shape-bucketed vmapped batches.
+
+    Compiled solvers are cached per (shape-class, pars, dtype) for the
+    process lifetime, so repeat campaigns over the same shape classes are
+    compile-free (the Params tree is frozen/hashable)."""
     pars = pars or Params()
     names = list(problems.keys())
     raw = [problems[k] for k in names]
@@ -162,9 +169,14 @@ def solve_bucketed(problems: Dict[str, LPData],
 
     out: Dict[str, BucketResult] = {}
     for (n_pad, m_pad), idxs in bucket_shapes(reduced, round_to).items():
-        spec = bucket_template(n_pad, m_pad)
-        nlp = canonicalize(spec, dtype=dtype)
-        solver = BatchSolver(nlp, pars)
+        key = (n_pad, m_pad, pars, str(dtype))
+        if key in _SOLVER_CACHE:
+            nlp, solver = _SOLVER_CACHE[key]
+        else:
+            spec = bucket_template(n_pad, m_pad)
+            nlp = canonicalize(spec, dtype=dtype)
+            solver = BatchSolver(nlp, pars)
+            _SOLVER_CACHE[key] = (nlp, solver)
         for lo in range(0, len(idxs), max_batch):
             chunk = idxs[lo:lo + max_batch]
             padded = [pad_lp(reduced[i], n_pad, m_pad) for i in chunk]

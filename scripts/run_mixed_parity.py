@@ -57,6 +57,13 @@ def main():
     pars = Params().with_overrides({
         "output_level": 0, "term.max_it": args.max_it,
         "term.tol_opt": args.tol,
+        # f32-appropriate infeasibility thresholds: the Farkas stationary
+        # measure's f32 noise floor is ~1e-4, so the reference's f64
+        # tol_inf_2=1e-6 is unreachable (solves stall at MAX_IT instead of
+        # certifying); 1e-3 certifies the whole synthetic infeasible set
+        # (measured) while the feasible side stays falsifiable via the
+        # HiGHS fval cross-check
+        "term.tol_inf_2": 1e-3,
         "chunk_size": 25, "kkt.linear_solver_type": "invchol",
         "kkt.it_refine_highprec": True})
 
