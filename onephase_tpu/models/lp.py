@@ -86,6 +86,87 @@ def perturb_infeasible(spec: NLPSpec, scale: float = 1.0) -> NLPSpec:
 
 
 # ---------------------------------------------------------------------------
+# MPS writer — emits standard (free-form) MPS so synthetic suites can be
+# round-tripped through `read_mps` + the directory campaign driver exactly
+# the way real Netlib archives are ingested (reference run_netlib.jl:4-66
+# loads the canonical files from disk; here the disk artifact is the test).
+# ---------------------------------------------------------------------------
+def write_mps(d: LPData, path: str) -> None:
+    """Write an LPData as free-form MPS.
+
+    Row encoding: equalities as E; one-sided rows as L/G; two-sided
+    inequality rows as L with a RANGES entry (lcon = rhs - |range|).
+    Free rows (both sides infinite) are not representable as constraints
+    and are rejected.  The objective constant rides as RHS on the
+    objective row (read back as c0 = -rhs).
+    """
+    m, n = d.m, d.n
+    if m and np.any(np.isinf(d.lcon) & np.isinf(d.ucon)
+                    & (d.lcon < 0) & (d.ucon > 0)):
+        raise ValueError("free constraint rows are not representable in MPS")
+
+    def fmt(v):
+        return f"{v:.17g}"
+
+    lines = [f"NAME {d.name}", "ROWS", " N  OBJ"]
+    rtypes = []
+    for i in range(m):
+        lf, uf = np.isfinite(d.lcon[i]), np.isfinite(d.ucon[i])
+        if lf and uf and d.lcon[i] == d.ucon[i]:
+            t = "E"
+        elif uf:
+            t = "L"      # two-sided rows: L + RANGES
+        else:
+            t = "G"
+        rtypes.append(t)
+        lines.append(f" {t}  R{i}")
+
+    lines.append("COLUMNS")
+    for j in range(n):
+        if d.cvec[j] != 0.0:
+            lines.append(f"    C{j}  OBJ  {fmt(d.cvec[j])}")
+        for i in np.nonzero(d.A[:, j])[0]:
+            lines.append(f"    C{j}  R{i}  {fmt(d.A[i, j])}")
+
+    lines.append("RHS")
+    if d.c0:
+        lines.append(f"    RHS  OBJ  {fmt(-d.c0)}")
+    for i, t in enumerate(rtypes):
+        b = d.ucon[i] if t in ("L", "E") else d.lcon[i]
+        if b != 0.0:
+            lines.append(f"    RHS  R{i}  {fmt(b)}")
+
+    rng = [(i, d.ucon[i] - d.lcon[i]) for i, t in enumerate(rtypes)
+           if t == "L" and np.isfinite(d.lcon[i])]
+    if rng:
+        lines.append("RANGES")
+        for i, r in rng:
+            lines.append(f"    RNG  R{i}  {fmt(r)}")
+
+    lines.append("BOUNDS")
+    for j in range(n):
+        lv, uv = d.lvar[j], d.uvar[j]
+        lf, uf = np.isfinite(lv), np.isfinite(uv)
+        if lf and uf and lv == uv:
+            lines.append(f" FX BND  C{j}  {fmt(lv)}")
+            continue
+        if not lf and not uf:
+            lines.append(f" FR BND  C{j}")
+            continue
+        if not lf:
+            lines.append(f" MI BND  C{j}")
+        elif lv != 0.0:
+            lines.append(f" LO BND  C{j}  {fmt(lv)}")
+        if uf:
+            lines.append(f" UP BND  C{j}  {fmt(uv)}")
+
+    lines.append("ENDATA")
+    op = gzip.open if str(path).endswith(".gz") else open
+    with op(path, "wt") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+# ---------------------------------------------------------------------------
 # MPS reader (fixed + free format tolerant) — enough for the Netlib sets.
 # ---------------------------------------------------------------------------
 def read_mps(path: str, name: Optional[str] = None) -> NLPSpec:
