@@ -184,6 +184,19 @@ class OnePhaseKernel:
         else:
             self.mr = m
 
+        # HBM: for the dense schur path the carried state does NOT store Q.
+        # Q is cheap to rebuild from the J/H at the factor point (one fused
+        # jtdj), and carrying it doubles the double-buffered factor-state
+        # footprint under lax.while_loop — the n=2048/batch=64 invchol OOM
+        # (VERDICT r3 item 3).  The freshly-formed Q is used as a temporary
+        # for the factor search; the stored Factor gets a (0,0) placeholder
+        # and the rare re-factor branches rebuild via _fact_q.  Structured
+        # subclasses (Chain/Banded/Scenario) keep their own Q representation.
+        self._q_store_placeholder = (
+            self.kkt_type == "schur"
+            and type(self).form_factor is OnePhaseKernel.form_factor
+            and type(self).factor is OnePhaseKernel.factor)
+
         self.run_chunk = jax.jit(self._run_chunk)
         self.initial_state_from = jax.jit(self._initial_state)
 
@@ -420,6 +433,39 @@ class OnePhaseKernel:
             return jnp.zeros((0, 0), self.dtype)
         return H
 
+    def _store_q(self, Q):
+        """Value stored in the carried Factor.Q: a (0, 0) placeholder on the
+        dense schur path (Q is rebuilt on demand by _fact_q; see __init__)."""
+        if self._q_store_placeholder:
+            return jnp.zeros((0, 0), self.factor_store_dtype)
+        return Q
+
+    def _fact_q(self, fact: Factor):
+        """The Schur complement at the factorization point.  Rebuilds
+        Q = H + J^T diag(y_f/s_f) J from the factor-point J/H when the
+        carried Factor holds the placeholder (re-factor branches only:
+        the LS-failure delta escalation, one_phase.jl:221-258)."""
+        if not self._q_store_placeholder:
+            return fact.Q
+        return self._form_q(self._fact_jc(fact), self._fact_h(fact),
+                            fact.y_f / fact.s_f)
+
+    def _form_q(self, Jc, H, d):
+        """Fused Q = H + J^T diag(d) J in the factor dtype (the 42.1% cost
+        item, docs/one-phase.tex:901-912)."""
+        use_pallas = self.pars.kkt.linear_solver_type == "pallas"
+        mxu = (jnp.bfloat16 if self.pars.kkt.q_form_dtype == "bf16" else None)
+        fdt = self.factor_store_dtype
+        if fdt != self.dtype:
+            # pure mixed mode (kkt.factor_precision="f32"): form Q itself in
+            # f32 — the factor is only a preconditioner; refine_solve's
+            # residual uses the f64 H/Jc stored alongside.
+            return self.nlp.jtdj_fused(Jc.astype(fdt), d.astype(fdt),
+                                       H.astype(fdt), use_pallas=use_pallas,
+                                       mxu_dtype=mxu)
+        return self.nlp.jtdj_fused(Jc, d, H, use_pallas=use_pallas,
+                                   mxu_dtype=mxu)
+
     def finalize_solver(self, L):
         """Turn a successful Cholesky factor into the solve operator.
 
@@ -534,21 +580,7 @@ class OnePhaseKernel:
                           schur_diag=schur_diag,
                           L=prev.L, D=prev.D, delta=prev.delta,
                           s_f=p.s, y_f=p.y, ok=jnp.asarray(False), rescale=r)
-        use_pallas = self.pars.kkt.linear_solver_type == "pallas"
-        mxu = (jnp.bfloat16 if self.pars.kkt.q_form_dtype == "bf16" else None)
-        fdt = self.factor_store_dtype
-        if fdt != self.dtype:
-            # pure mixed mode (kkt.factor_precision="f32"): form Q itself in
-            # f32 — Schur formation is the 42.1% cost item
-            # (docs/one-phase.tex:901-912) and the factor is only a
-            # preconditioner; refine_solve's residual uses the f64 H/Jc
-            # stored alongside, so direction accuracy is unaffected.
-            Q = nlp.jtdj_fused(Jc.astype(fdt), (p.y / p.s).astype(fdt),
-                               H.astype(fdt), use_pallas=use_pallas,
-                               mxu_dtype=mxu)
-        else:
-            Q = nlp.jtdj_fused(Jc, p.y / p.s, H, use_pallas=use_pallas,
-                               mxu_dtype=mxu)
+        Q = self._form_q(Jc, H, p.y / p.s)
         return Factor(Jc=self._store_jc(Jc), H=self._store_h(H), Q=Q,
                       schur_diag=jnp.diagonal(Q).astype(self.dtype),
                       L=prev.L, D=prev.D, delta=prev.delta, s_f=p.s, y_f=p.y,
@@ -1324,8 +1356,11 @@ class OnePhaseKernel:
             # -- factor at current point -------------------------------
             fact = self.form_factor(st.p, st.cache, st.fact, st.pdata)
             success, nfac_inertia, new_delta, LD = self.ipopt_strategy(fact, st.delta)
+            # the freshly-formed Q was a temporary for the factor search;
+            # the carried Factor stores the placeholder (HBM, see __init__)
             fact = fact._replace(L=self.finalize_solver(LD[0]), D=LD[1],
-                                 delta=new_delta, ok=success)
+                                 delta=new_delta, ok=success,
+                                 Q=self._store_q(fact.Q))
             old_delta = st.delta
             st = st._replace(fact=fact, delta=new_delta,
                              num_fac_inertia=nfac_inertia,
@@ -1371,8 +1406,8 @@ class OnePhaseKernel:
                                              jnp.maximum(pars.delta.start,
                                                          old_delta * pars.delta.dec))
                         nd = jnp.where(can_escalate, nd, delta)
-                        (Lc, Dc), okc = self.factor(st_c.fact.Q, nd,
-                                                    st_c.fact.rescale)
+                        (Lc, Dc), okc = self.factor(self._fact_q(st_c.fact),
+                                                    nd, st_c.fact.rescale)
                         Lc = self.finalize_solver(Lc)
                         Lk = jax.tree_util.tree_map(
                             lambda new, old: jnp.where(okc, new, old),
@@ -1634,6 +1669,7 @@ class OnePhaseKernel:
         p = Point(x=x, y=y, s=s, mu=mu, beta=jnp.asarray(1.0, dt))
         cache = self.make_cache(x, y, bvals, pdata)
         r0 = cache.a - s
+        fact = fact._replace(Q=self._store_q(fact.Q))  # HBM (see __init__)
 
         filt = Filter(merit=jnp.full(self.filt_cap, jnp.inf, dt),
                       kkt=jnp.full(self.filt_cap, jnp.inf, dt),
@@ -1679,7 +1715,8 @@ class OnePhaseKernel:
                    else None)
         return Factor(Jc=self._store_jc(jnp.zeros((self.nlp.m_orig, n), dt)),
                       H=self._store_h(jnp.zeros((n, n), dt)),
-                      Q=jnp.zeros((N, N), self.factor_store_dtype),
+                      Q=self._store_q(jnp.zeros((N, N),
+                                                self.factor_store_dtype)),
                       schur_diag=jnp.zeros(n, dt),
                       L=jnp.eye(N, dtype=self.factor_store_dtype),
                       D=jnp.ones(N, self.factor_store_dtype),
