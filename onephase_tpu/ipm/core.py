@@ -1299,14 +1299,24 @@ class OnePhaseKernel:
                            * scale.astype(jnp.float64)).astype(self.dtype)
             a64 = self.nlp.a_of_hi(p.x, bvals, pdata)
             max_vio = (-jnp.minimum(0.0, jnp.min(a64))).astype(self.dtype)
+            # Farkas certificate in f64 as well: the numerator ||J^T y||_1
+            # must reach ~tol_inf_2 * ||y||_1, below the f32 VJP noise
+            # floor on badly-scaled duals (see nlp.jtprod_hi)
+            y64 = p.y.astype(jnp.float64)
+            jt_y_1 = _norm1(self.nlp.jtprod_hi(p.x, p.y, pdata))
+            feas_obj = -jnp.sum(a64 * y64)
+            fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj,
+                              jnp.inf).astype(self.dtype)
+            fark2 = ((jt_y_1 + jnp.dot(p.s.astype(jnp.float64), y64))
+                     / _norm1(y64)).astype(self.dtype)
         else:
             sdf0 = _norm_inf(cache.g - cache.jt_y) * scale
             comp_scaled = jnp.max(p.s * p.y) * scale
             max_vio = -jnp.minimum(0.0, jnp.min(cache.a))
-        jt_y_1 = _norm1(cache.jt_y)
-        feas_obj = -jnp.sum(cache.a * p.y)
-        fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj, jnp.inf)
-        fark2 = (jt_y_1 + jnp.dot(p.s, p.y)) / _norm1(p.y)
+            jt_y_1 = _norm1(cache.jt_y)
+            feas_obj = -jnp.sum(cache.a * p.y)
+            fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj, jnp.inf)
+            fark2 = (jt_y_1 + jnp.dot(p.s, p.y)) / _norm1(p.y)
 
         tol = pars.term.tol_opt
         optimal = (sdf0 < tol) & (comp_scaled < tol) & (max_vio < tol)

@@ -344,6 +344,33 @@ class CanonNLP:
             jt = jnp.zeros((self.n,), hi)
         return g + jt + mu_th * self._bnd_ones.astype(hi) - bnd
 
+    def jtprod_hi(self, x, w, pdata=None):
+        """Canonical J(x)^T @ w with f64 VJP arithmetic.
+
+        The Farkas certificate's numerator ||J^T y||_1 must approach 0 for
+        an infeasibility verdict (reference farkas_certificate,
+        eval.jl:149-161); in f32 the VJP's own rounding floors it at
+        ~eps32 * ||J|| * ||y||, which can sit above tol_inf_2 * ||y||_1 —
+        the solve then stalls at MAX_IT instead of certifying.  One f64
+        oracle pass per termination check removes that floor (same
+        rationale as grad_lag_hi).  Requires jax_enable_x64.
+        """
+        hi = jnp.float64
+        x64 = x.astype(hi)
+        pd = self._pd(pdata)
+        wc, bnd = self.split_canonical(w.astype(hi))
+        if self.m_orig > 0:
+            def c_hi(xx):
+                xf = self._full_x(xx)
+                v = self._c_raw(xf, pd) if self.parametric else self._c_raw(xf)
+                return jnp.asarray(v, hi).reshape(self.m_orig)
+
+            _, pull = jax.vjp(c_hi, x64)
+            out = pull(wc)[0]
+        else:
+            out = jnp.zeros((self.n,), hi)
+        return out + bnd
+
     def a_of_hi(self, x, bvals=None, pdata=None):
         """Canonical a(x) in float64 (violation measurement without the
         f32 cancellation in c(x) - l / u - c(x))."""

@@ -140,11 +140,12 @@ def main():
     rows = []
     for n in sizes:
         for batch in batches:
-            # HBM guard: per instance the state carries Q + L/M (2 n^2;
-            # J/H are folded constants since the r3 placeholder fix),
-            # double-buffered by the while loop; skip > ~12GB
+            # HBM guard: per instance the state carries L/M only (1 n^2;
+            # J/H are folded constants since the r3 placeholder fix, Q is
+            # rebuilt on demand since the r4 state-Q fix), double-buffered
+            # by the while loop + formation transients; skip > ~12GB
             m = n // 2
-            bytes_est = batch * (2 * n * n) * 4 * 2.5
+            bytes_est = batch * (n * n) * 4 * 2.5
             if bytes_est > 12e9:
                 rows.append({"n": n, "batch": batch, "skipped": "memory"})
                 print(f"n={n} batch={batch}: skipped (est {bytes_est/1e9:.1f} GB)",

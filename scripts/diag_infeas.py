@@ -36,12 +36,19 @@ def main():
     ap.add_argument("--tol-inf-2", type=float, default=None)
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--tail", type=int, default=12)
+    ap.add_argument("--resid-f64", action="store_true",
+                    help="measure residuals+Farkas in f64 (needs x64)")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="solve through the padded bucketed batch driver "
+                         "(the campaign path) instead of serially")
     args = ap.parse_args()
 
-    if args.platform:
-        os.environ.setdefault("JAX_PLATFORMS", args.platform)
     import jax
-    if args.dtype == "f64":
+    if args.platform:
+        # env-var JAX_PLATFORMS is pinned to axon by sitecustomize; the
+        # config API is the only working override
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "f64" or args.resid_f64:
         jax.config.update("jax_enable_x64", True)
 
     from onephase_tpu.config import Params
@@ -56,10 +63,24 @@ def main():
         "term.tol_inf_2": tol_inf_2,
         "chunk_size": 25,
         "kkt.linear_solver_type": "invchol",
-        "kkt.it_refine_highprec": True})
+        "kkt.it_refine_highprec": True,
+        **({"kkt.residual_precision": "f64"} if args.resid_f64 else {})})
 
     problems = mixed_suite(n_pairs=48)
     names = args.names or FAILING
+    if args.bucketed:
+        import jax.numpy as jnp
+        from onephase_tpu.parallel.buckets import solve_bucketed
+        dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+        res_all = solve_bucketed({n: problems[n] for n in names}, pars,
+                                 round_to=128, dtype=dtype)
+        for name in names:
+            r = res_all[name]
+            print(f"{name}: status={r.status} it={r.iterations}")
+        print(json.dumps({n: {"status": res_all[n].status,
+                              "it": res_all[n].iterations}
+                          for n in names}, indent=1))
+        return
     summary = {}
     for name in names:
         d = problems[name]
