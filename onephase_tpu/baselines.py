@@ -126,6 +126,14 @@ def scipy_linprog_solve(problem, pars: Optional[Params] = None,
         [b if np.isfinite(b) else None for b in d.lvar],
         [b if np.isfinite(b) else None for b in d.uvar]))
 
+    # hand HiGHS sparse matrices (it is a sparse solver; the dense ndarray
+    # round-trip would penalize the baseline lane at scale)
+    from scipy.sparse import csr_matrix
+    if A_ub is not None:
+        A_ub = csr_matrix(A_ub)
+    if A_eq is not None:
+        A_eq = csr_matrix(A_eq)
+
     t0 = time.time()
     # the IPM's max_it (outer interior-point iterations) is NOT a sensible
     # simplex pivot budget; give the industrial lane its own headroom

@@ -99,13 +99,16 @@ _MECHANISMS = ("range_shift", "eq_conflict", "sign_conflict",
                "interval_conflict")
 
 
-def _lp_base(m: int, n: int, seed: int):
+def _lp_base(m: int, n: int, seed: int, density: float | None = None):
     """Random sparse-ish *feasible* LP base: known interior point
     x in (0, 10)^n, every 4th row an equality, box bounds [0, 10] (so any
     objective is bounded).  Shared by the infeasible stand-ins (which break
-    it) and the feasible members of `mixed_suite` (which keep it)."""
+    it) and the feasible members of `mixed_suite` (which keep it).
+    `density` defaults to ~8 nonzeros/row (Netlib-like); pass e.g. 0.5 for
+    the dense regime of the throughput crossover campaign."""
     rng = _rng(seed)
-    density = min(1.0, max(0.02, 8.0 / n))      # ~8 nonzeros/row like Netlib
+    if density is None:
+        density = min(1.0, max(0.02, 8.0 / n))  # ~8 nonzeros/row like Netlib
     A = rng.normal(size=(m, n)) * (rng.random((m, n)) < density)
     A[np.all(A == 0.0, axis=1), rng.integers(0, n)] = 1.0
     x_feas = 1.0 + 4.0 * rng.random(n)
@@ -118,12 +121,13 @@ def _lp_base(m: int, n: int, seed: int):
     return rng, A, b, is_eq, lcon, ucon, lvar, uvar
 
 
-def _lpi_instance(name: str, m: int, n: int, mech: str, seed: int) -> NLPSpec:
+def _lpi_instance(name: str, m: int, n: int, mech: str, seed: int,
+                  density: float | None = None) -> NLPSpec:
     """One dimension-matched infeasible LP.
 
     Base: `_lp_base` (feasible), then broken by `mech`.
     """
-    rng, A, b, is_eq, lcon, ucon, lvar, uvar = _lp_base(m, n, seed)
+    rng, A, b, is_eq, lcon, ucon, lvar, uvar = _lp_base(m, n, seed, density)
 
     if mech == "range_shift":
         # reference infeas.jl mechanism: shift ranges until they conflict
@@ -201,6 +205,28 @@ def mixed_suite(n_pairs: int = 12, seed: int = 11, max_n: int = 600,
                               seed + 2 * i + 1)
         for d in (d_feas, d_inf):
             out[d.name] = d if as_data else d.to_spec()
+    return out
+
+
+def sized_mixed_suite(n: int, m: int, n_pairs: int, density: float | None = None,
+                      seed: int = 23) -> Dict[str, LPData]:
+    """Mixed feasible+infeasible pool at a FIXED shape (n cols, m rows) —
+    the throughput-crossover campaign's unit (VERDICT r3 item 2): one
+    shape class = one compiled batched solver, identical data to the
+    baseline lane.  Same construction as `mixed_suite`, with problem size
+    and density as free parameters."""
+    out = {}
+    for i in range(n_pairs):
+        rng, A, b, is_eq, lcon, ucon, lvar, uvar = _lp_base(
+            m, n, seed + 2 * i, density)
+        d_feas = LPData(cvec=rng.normal(size=n), A=A, lcon=lcon, ucon=ucon,
+                        lvar=lvar, uvar=uvar, x0=np.full(n, 5.0),
+                        name=f"mix{n}_{i}_feas")
+        mech = _MECHANISMS[i % len(_MECHANISMS)]
+        d_inf = _lpi_instance(f"mix{n}_{i}_infeas", m, n, mech,
+                              seed + 2 * i + 1, density)
+        out[d_feas.name] = d_feas
+        out[d_inf.name] = d_inf
     return out
 
 

@@ -64,6 +64,8 @@ class BucketResult:
     # latest record even at batch_history_capacity=2)
     dual_feas: float = float("nan")
     comp: float = float("nan")
+    # resolved by the f64 escalation pass (solve_bucketed escalate_f64)
+    escalated: bool = False
 
 
 def eliminate_fixed(d: LPData, tol: float = 0.0) -> Tuple[LPData, np.ndarray, np.ndarray]:
@@ -150,12 +152,22 @@ def solve_bucketed(problems: Dict[str, LPData],
                    pars: Optional[Params] = None,
                    round_to: int = 64,
                    max_batch: int = 256,
-                   dtype=None) -> Dict[str, BucketResult]:
+                   dtype=None,
+                   escalate_f64: bool = False) -> Dict[str, BucketResult]:
     """Solve a heterogeneous dict of LPs as shape-bucketed vmapped batches.
 
     Compiled solvers are cached per (shape-class, pars, dtype) for the
     process lifetime, so repeat campaigns over the same shape classes are
-    compile-free (the Params tree is frozen/hashable)."""
+    compile-free (the Params tree is frozen/hashable).
+
+    `escalate_f64`: precision escalation on unresolved statuses — instances
+    that end MAX_IT/MAX_DELTA under an f32 solve get ONE f64 re-solve pass
+    (as a second set of buckets).  The batch-campaign analogue of the
+    per-factorization kkt.factor_precision="f32_fallback" escape: the f32
+    MXU lane resolves the bulk at full throughput, the handful of
+    endgame-limited instances (ill-conditioned certificate races where the
+    f32 iterates plateau marginally above the Farkas threshold) pay f64
+    exactly once.  Requires jax_enable_x64."""
     pars = pars or Params()
     names = list(problems.keys())
     raw = [problems[k] for k in names]
@@ -217,4 +229,19 @@ def solve_bucketed(problems: Dict[str, LPData],
                     name=inst.name,
                     dual_feas=float(rows[bi, IDX["dual_scaled"]]),
                     comp=float(rows[bi, IDX["comp"]]))
+
+    if escalate_f64 and dtype != jnp.float64:
+        import jax
+        unresolved = sorted(name for name, r in out.items()
+                            if r.status in ("MAX_IT", "MAX_DELTA"))
+        if unresolved:
+            if not jax.config.jax_enable_x64:
+                raise ValueError("escalate_f64 requires jax_enable_x64")
+            res64 = solve_bucketed({k: problems[k] for k in unresolved},
+                                   pars, round_to=round_to,
+                                   max_batch=max_batch, dtype=jnp.float64,
+                                   escalate_f64=False)
+            for k, r in res64.items():
+                r.escalated = True
+                out[k] = r
     return out

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Batched-LP throughput head-to-head in the TPU's regime + crossover curve
+(VERDICT r3 item 2; BASELINE.md ">=1.5x Ipopt-class aggregate throughput on
+batched Netlib at 1 host").
+
+The r3 head-to-heads all sat in HiGHS's sweet spot (tiny sparse LPs,
+n<=700, where the committed ratio was 0.33x warm).  This campaign sweeps
+problem size n with batch>=64 mixed feasible+infeasible pools on IDENTICAL
+data per lane:
+
+  one-phase  — one shape class per n -> ONE compiled vmapped batch on the
+               chip (parallel/buckets.solve_bucketed), f32 MXU factor path,
+               f64 residual/Farkas measurement; cold (incl. compile) and
+               warm walls both reported.
+  HiGHS      — scipy.linprog(method="highs") per instance, csr-sparse input
+               (the industrial baseline lane, reference run_netlib.jl
+               framing).
+
+Scored per size: status agreement vs ground truth (both lanes), fval
+cross-check on both-Optimal pairs, wall-clock per lane, aggregate
+throughput ratio, and the measured crossover size n* where the TPU lane
+overtakes.  Density is a lane parameter: "netlib" (~8 nnz/row) and
+"dense" (50%) regimes are both recorded.
+
+    python scripts/run_throughput_crossover.py [--platform cpu] [--quick]
+Writes results/throughput_crossover.json (+ .md table).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_lane(sizes, batch, density, pars, round_to, dtype, label, results):
+    import jax
+
+    from onephase_tpu.baselines import scipy_linprog_solve
+    from onephase_tpu.models.netlib import sized_mixed_suite
+    from onephase_tpu.parallel.buckets import solve_bucketed
+
+    for n in sizes:
+        m = n // 2
+        problems = sized_mixed_suite(n, m, n_pairs=batch // 2,
+                                     density=density)
+        t0 = time.time()
+        ours_cold = solve_bucketed(problems, pars, round_to=round_to,
+                                   dtype=dtype)
+        wall_cold = time.time() - t0
+        t0 = time.time()
+        ours = solve_bucketed(problems, pars, round_to=round_to, dtype=dtype)
+        wall_warm = time.time() - t0
+        del ours_cold
+
+        t0 = time.time()
+        highs = {name: scipy_linprog_solve(d, pars)
+                 for name, d in problems.items()}
+        wall_highs = time.time() - t0
+
+        n_truth_ours = n_truth_highs = n_fval = n_pairs_opt = 0
+        worst_rel = 0.0
+        for name, d in problems.items():
+            truth = ("optimal" if name.endswith("_feas")
+                     else "primal_infeasible")
+            s_o = {"Optimal": "optimal"}.get(ours[name].status,
+                                             ours[name].status)
+            s_h = {"Optimal": "optimal"}.get(highs[name].status,
+                                             highs[name].status)
+            n_truth_ours += s_o == truth
+            n_truth_highs += s_h == truth
+            if s_o == "optimal" and s_h == "optimal":
+                n_pairs_opt += 1
+                rel = abs(ours[name].obj - highs[name].obj) / max(
+                    1.0, abs(highs[name].obj))
+                worst_rel = max(worst_rel, rel)
+                n_fval += rel < 5e-3
+        row = {
+            "density": label, "n": n, "m": m, "batch": len(problems),
+            "status_vs_truth_ours": f"{n_truth_ours}/{len(problems)}",
+            "status_vs_truth_highs": f"{n_truth_highs}/{len(problems)}",
+            "fval_agree": f"{n_fval}/{n_pairs_opt}",
+            "worst_fval_rel_err": worst_rel,
+            "wall_ours_cold_s": round(wall_cold, 2),
+            "wall_ours_warm_s": round(wall_warm, 2),
+            "wall_highs_s": round(wall_highs, 2),
+            "speedup_warm": round(wall_highs / wall_warm, 2),
+            "speedup_cold": round(wall_highs / wall_cold, 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--sizes", default="256,512,1024,2048")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="results/throughput_crossover.json")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)  # f64 measurement lane
+    import jax.numpy as jnp
+
+    from onephase_tpu.config import Params
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    if args.quick:
+        sizes = sizes[:2]
+    pars = Params().with_overrides({
+        "output_level": 0, "term.max_it": 300, "term.tol_opt": 1e-4,
+        "term.tol_inf_2": 1e-3, "kkt.residual_precision": "f64",
+        "chunk_size": 25, "kkt.linear_solver_type": "invchol",
+        "kkt.it_refine_highprec": True})
+
+    results = []
+    for density, label in ((None, "netlib(~8/row)"), (0.5, "dense(50%)")):
+        run_lane(sizes, args.batch, density, pars, 128, jnp.float32,
+                 label, results)
+
+    crossover = {}
+    for lab in {r["density"] for r in results}:
+        rows = sorted([r for r in results if r["density"] == lab],
+                      key=lambda r: r["n"])
+        c = next((r["n"] for r in rows if r["speedup_warm"] >= 1.0), None)
+        crossover[lab] = c
+    payload = {
+        "device": str(jax.devices()[0]),
+        "config": {"tol_opt": 1e-4, "tol_inf_2": 1e-3, "max_it": 300,
+                   "factor": "f32 MXU (invchol)",
+                   "measurement": "f64 residual+Farkas",
+                   "batch": args.batch},
+        "crossover_n_warm": crossover,
+        "rows": results,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    md = args.out.replace(".json", ".md")
+    with open(md, "w") as fh:
+        fh.write(f"# Batched-LP throughput crossover — {jax.devices()[0]}\n\n")
+        fh.write("Mixed feasible+infeasible pools, identical data per lane; "
+                 "one-phase = one vmapped f32 batch/shape (warm excludes "
+                 "compile), HiGHS = per-instance csr.\n\n")
+        fh.write("| density | n | batch | ours st | HiGHS st | fval agree | "
+                 "ours warm s | ours cold s | HiGHS s | speedup warm | "
+                 "speedup cold |\n|" + "---|" * 11 + "\n")
+        for r in results:
+            fh.write(f"| {r['density']} | {r['n']} | {r['batch']} | "
+                     f"{r['status_vs_truth_ours']} | "
+                     f"{r['status_vs_truth_highs']} | {r['fval_agree']} | "
+                     f"{r['wall_ours_warm_s']} | {r['wall_ours_cold_s']} | "
+                     f"{r['wall_highs_s']} | {r['speedup_warm']} | "
+                     f"{r['speedup_cold']} |\n")
+        fh.write(f"\nCrossover (warm speedup >= 1): {crossover}\n")
+    print(f"wrote {args.out} and {md}")
+
+
+if __name__ == "__main__":
+    main()
