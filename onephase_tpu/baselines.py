@@ -23,7 +23,12 @@ from .solver import Result
 
 
 def scipy_baseline_solve(problem, pars: Optional[Params] = None,
-                         options=None) -> Result:
+                         options=None, method: str = "trust-constr") -> Result:
+    """Ipopt-class NLP baseline lane, config-matched the way the reference
+    matched Ipopt's settings (run_cutest.jl:10-98: tol, max_iter, no
+    scaling): `method` is scipy's "trust-constr" (interior-point,
+    Ipopt-like, slow) or "SLSQP" (active-set SQP, completes far more
+    instances per hour — the practical lane for iteration profiles)."""
     import jax
     import jax.numpy as jnp
     from scipy.optimize import NonlinearConstraint, minimize
@@ -64,31 +69,46 @@ def scipy_baseline_solve(problem, pars: Optional[Params] = None,
 
     import time
     t0 = time.time()
-    res = minimize(fun, np.asarray(nlp.x0), jac=jac, bounds=bounds,
-                   constraints=constraints, method="trust-constr",
-                   options={"maxiter": pars.term.max_it,
-                            "gtol": pars.term.tol_opt,
-                            "xtol": 1e-12,
-                            "verbose": 0})
+    if method == "SLSQP":
+        res = minimize(fun, np.asarray(nlp.x0), jac=jac, bounds=bounds,
+                       constraints=constraints, method="SLSQP",
+                       options={"maxiter": pars.term.max_it,
+                                "ftol": pars.term.tol_opt})
+    else:
+        res = minimize(fun, np.asarray(nlp.x0), jac=jac, bounds=bounds,
+                       constraints=constraints, method="trust-constr",
+                       options={"maxiter": pars.term.max_it,
+                                "gtol": pars.term.tol_opt,
+                                "xtol": 1e-12,
+                                "verbose": 0})
     wall = time.time() - t0
 
     x = np.asarray(res.x)
     a = np.asarray(nlp.a_of(jnp.asarray(x, nlp.dtype)))
     vio = float(max(0.0, -a.min())) if a.size else 0.0
-    if res.status in (1, 2) and vio < 1e-6:
+    niter = int(getattr(res, "niter", getattr(res, "nit", -1)))
+    if method == "SLSQP":
+        # SLSQP statuses: 0 success; 4/8 infeasible-ish; 9 max-iter
+        if res.status == 0 and vio < 1e-6:
+            code = OPTIMAL
+        elif res.status == 9 or niter >= pars.term.max_it:
+            code = MAX_IT
+        else:
+            code = PRIMAL_INFEASIBLE if vio >= 1e-6 else MAX_IT
+    elif res.status in (1, 2) and vio < 1e-6:
         code = OPTIMAL
     elif res.status == 4:
         code = PRIMAL_INFEASIBLE
     elif res.status == 0:
         code = MAX_IT
     else:
-        code = MAX_IT if res.niter >= pars.term.max_it else PRIMAL_INFEASIBLE
+        code = MAX_IT if niter >= pars.term.max_it else PRIMAL_INFEASIBLE
 
     x_full = np.array(nlp._x_template)
     x_full[nlp.free_idx] = x
     return Result(
         status=STATUS_NAMES[code], status_code=code, x=x_full,
-        obj=float(res.fun), iterations=int(res.niter), history=[],
+        obj=float(res.fun), iterations=niter, history=[],
         y=np.zeros(nlp.m), constr_duals=np.zeros(nlp.m_orig),
         reduced_costs=np.zeros(nlp.n_full), mu=0.0, max_violation=vio,
         solve_time=wall)

@@ -22,6 +22,7 @@ never active for problems whose solutions are < BIG in norm.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -237,10 +238,23 @@ def solve_bucketed(problems: Dict[str, LPData],
         if unresolved:
             if not jax.config.jax_enable_x64:
                 raise ValueError("escalate_f64 requires jax_enable_x64")
-            res64 = solve_bucketed({k: problems[k] for k in unresolved},
-                                   pars, round_to=round_to,
-                                   max_batch=max_batch, dtype=jnp.float64,
-                                   escalate_f64=False)
+            # run the escalation pass on the HOST CPU when the default
+            # backend emulates f64 (TPU): native f64 on a handful of
+            # endgame-limited instances beats emulated f64 on the chip,
+            # and the accelerator stays free for the f32 bulk — a
+            # heterogeneous two-tier solve
+            try:
+                esc_dev = (jax.devices("cpu")[0]
+                           if jax.default_backend() != "cpu" else None)
+            except RuntimeError:
+                esc_dev = None
+            ctx = (jax.default_device(esc_dev) if esc_dev is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                res64 = solve_bucketed({k: problems[k] for k in unresolved},
+                                       pars, round_to=round_to,
+                                       max_batch=max_batch, dtype=jnp.float64,
+                                       escalate_f64=False)
             for k, r in res64.items():
                 r.escalated = True
                 out[k] = r

@@ -47,10 +47,11 @@ def run_lane(sizes, batch, density, pars, round_to, dtype, label, results):
                                      density=density)
         t0 = time.time()
         ours_cold = solve_bucketed(problems, pars, round_to=round_to,
-                                   dtype=dtype)
+                                   dtype=dtype, escalate_f64=True)
         wall_cold = time.time() - t0
         t0 = time.time()
-        ours = solve_bucketed(problems, pars, round_to=round_to, dtype=dtype)
+        ours = solve_bucketed(problems, pars, round_to=round_to, dtype=dtype,
+                              escalate_f64=True)
         wall_warm = time.time() - t0
         del ours_cold
 
@@ -60,6 +61,8 @@ def run_lane(sizes, batch, density, pars, round_to, dtype, label, results):
         wall_highs = time.time() - t0
 
         n_truth_ours = n_truth_highs = n_fval = n_pairs_opt = 0
+        n_escalated = 0
+        misses = []
         worst_rel = 0.0
         for name, d in problems.items():
             truth = ("optimal" if name.endswith("_feas")
@@ -70,6 +73,9 @@ def run_lane(sizes, batch, density, pars, round_to, dtype, label, results):
                                              highs[name].status)
             n_truth_ours += s_o == truth
             n_truth_highs += s_h == truth
+            n_escalated += getattr(ours[name], "escalated", False)
+            if s_o != truth:
+                misses.append(f"{name}:{s_o}@{ours[name].iterations}it")
             if s_o == "optimal" and s_h == "optimal":
                 n_pairs_opt += 1
                 rel = abs(ours[name].obj - highs[name].obj) / max(
@@ -82,6 +88,8 @@ def run_lane(sizes, batch, density, pars, round_to, dtype, label, results):
             "status_vs_truth_highs": f"{n_truth_highs}/{len(problems)}",
             "fval_agree": f"{n_fval}/{n_pairs_opt}",
             "worst_fval_rel_err": worst_rel,
+            "n_escalated_f64": n_escalated,
+            "misses": misses,
             "wall_ours_cold_s": round(wall_cold, 2),
             "wall_ours_warm_s": round(wall_warm, 2),
             "wall_highs_s": round(wall_highs, 2),
@@ -112,9 +120,16 @@ def main():
     sizes = [int(s) for s in args.sizes.split(",")]
     if args.quick:
         sizes = sizes[:2]
+    # pure-f32 hot loop: in-loop residual/Farkas measurement stays f32
+    # (conservative: VJP noise only ever sits ON TOP of the true Farkas
+    # value, so a measured crossing of 1e-3 is trustworthy; the false
+    # NEGATIVES it can produce end MAX_IT and are retried by the CPU-f64
+    # escalation pass).  residual_precision="f64" in the loop would put
+    # emulated-f64 oracle evals on the chip every iteration — measured to
+    # double-to-triple the batched wall.
     pars = Params().with_overrides({
         "output_level": 0, "term.max_it": 300, "term.tol_opt": 1e-4,
-        "term.tol_inf_2": 1e-3, "kkt.residual_precision": "f64",
+        "term.tol_inf_2": 1e-3,
         "chunk_size": 25, "kkt.linear_solver_type": "invchol",
         "kkt.it_refine_highprec": True})
 
@@ -133,7 +148,7 @@ def main():
         "device": str(jax.devices()[0]),
         "config": {"tol_opt": 1e-4, "tol_inf_2": 1e-3, "max_it": 300,
                    "factor": "f32 MXU (invchol)",
-                   "measurement": "f64 residual+Farkas",
+                   "measurement": "f32 in-loop + CPU-f64 escalation",
                    "batch": args.batch},
         "crossover_n_warm": crossover,
         "rows": results,
