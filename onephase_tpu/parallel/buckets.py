@@ -239,13 +239,17 @@ def solve_bucketed(problems: Dict[str, LPData],
             if not jax.config.jax_enable_x64:
                 raise ValueError("escalate_f64 requires jax_enable_x64")
             # run the escalation pass on the HOST CPU when the default
-            # backend emulates f64 (TPU): native f64 on a handful of
-            # endgame-limited instances beats emulated f64 on the chip,
-            # and the accelerator stays free for the f32 bulk — a
-            # heterogeneous two-tier solve
+            # backend emulates f64 (TPU) AND the instances are small:
+            # native f64 on a handful of small endgame-limited instances
+            # beats emulated f64 on the chip and keeps the accelerator
+            # free for the f32 bulk — a heterogeneous two-tier solve.
+            # Above ~512 columns the O(n^3) factor work makes the chip's
+            # emulated f64 (MXU-based) faster than the host again.
+            n_esc_max = max(problems[k].n for k in unresolved)
             try:
                 esc_dev = (jax.devices("cpu")[0]
-                           if jax.default_backend() != "cpu" else None)
+                           if (jax.default_backend() != "cpu"
+                               and n_esc_max <= 512) else None)
             except RuntimeError:
                 esc_dev = None
             ctx = (jax.default_device(esc_dev) if esc_dev is not None

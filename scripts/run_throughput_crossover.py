@@ -127,8 +127,12 @@ def main():
     # escalation pass).  residual_precision="f64" in the loop would put
     # emulated-f64 oracle evals on the chip every iteration — measured to
     # double-to-triple the batched wall.
+    # max_it 120 for the f32 pass: every f32-certifiable instance in the
+    # pool lands by ~iteration 53 (scripts/diag_infeas.py traces); the
+    # stragglers that would burn 300 masked batch-iterations go to the
+    # CPU-f64 escalation pass sooner instead
     pars = Params().with_overrides({
-        "output_level": 0, "term.max_it": 300, "term.tol_opt": 1e-4,
+        "output_level": 0, "term.max_it": 120, "term.tol_opt": 1e-4,
         "term.tol_inf_2": 1e-3,
         "chunk_size": 25, "kkt.linear_solver_type": "invchol",
         "kkt.it_refine_highprec": True})
@@ -146,7 +150,7 @@ def main():
         crossover[lab] = c
     payload = {
         "device": str(jax.devices()[0]),
-        "config": {"tol_opt": 1e-4, "tol_inf_2": 1e-3, "max_it": 300,
+        "config": {"tol_opt": 1e-4, "tol_inf_2": 1e-3, "max_it": 120,
                    "factor": "f32 MXU (invchol)",
                    "measurement": "f32 in-loop + CPU-f64 escalation",
                    "batch": args.batch},
