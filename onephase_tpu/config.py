@@ -150,6 +150,13 @@ class TermParams:
     tol_inf_2: float = 1e-6
     dual_scale_threshold: float = 100.0
     dual_scale_mode: str = "max_dual"  # max_dual | ipopt | sqrt | exact | primal_dual
+    # TPU addition: batched f32 solves re-measure the termination criteria
+    # of still-RUNNING instances with f64 oracles BETWEEN jitted chunks
+    # (parallel/batch.py).  The in-loop f32 measurement only produces
+    # false negatives (noise sits on top of the true residuals), so the
+    # recheck can only release instances, never mis-certify; needs
+    # jax_enable_x64.
+    batch_f64_recheck: bool = True
 
 
 @dataclass(frozen=True)

@@ -1287,37 +1287,50 @@ class OnePhaseKernel:
     # ==================================================================
     def terminate(self, p: Point, cache: Cache, pdata=None, bvals=None):
         pars = self.pars
-        scale = self.dual_scale(p.y, p.s)
         if pars.kkt.residual_precision == "f64":
-            # mixed-precision certification: measure the KKT residuals with
-            # f64 oracle arithmetic (config.py kkt.residual_precision)
-            gl64 = self.nlp.grad_lag_hi(p.x, p.y, 0.0, pdata)
-            sdf0 = (_norm_inf(gl64)
-                    * scale.astype(jnp.float64)).astype(self.dtype)
-            sy64 = p.s.astype(jnp.float64) * p.y.astype(jnp.float64)
-            comp_scaled = (jnp.max(sy64)
-                           * scale.astype(jnp.float64)).astype(self.dtype)
-            a64 = self.nlp.a_of_hi(p.x, bvals, pdata)
-            max_vio = (-jnp.minimum(0.0, jnp.min(a64))).astype(self.dtype)
-            # Farkas certificate in f64 as well: the numerator ||J^T y||_1
-            # must reach ~tol_inf_2 * ||y||_1, below the f32 VJP noise
-            # floor on badly-scaled duals (see nlp.jtprod_hi)
-            y64 = p.y.astype(jnp.float64)
-            jt_y_1 = _norm1(self.nlp.jtprod_hi(p.x, p.y, pdata))
-            feas_obj = -jnp.sum(a64 * y64)
-            fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj,
-                              jnp.inf).astype(self.dtype)
-            fark2 = ((jt_y_1 + jnp.dot(p.s.astype(jnp.float64), y64))
-                     / _norm1(y64)).astype(self.dtype)
-        else:
-            sdf0 = _norm_inf(cache.g - cache.jt_y) * scale
-            comp_scaled = jnp.max(p.s * p.y) * scale
-            max_vio = -jnp.minimum(0.0, jnp.min(cache.a))
-            jt_y_1 = _norm1(cache.jt_y)
-            feas_obj = -jnp.sum(cache.a * p.y)
-            fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj, jnp.inf)
-            fark2 = (jt_y_1 + jnp.dot(p.s, p.y)) / _norm1(p.y)
+            return self.terminate_f64(p, cache, pdata, bvals)
+        scale = self.dual_scale(p.y, p.s)
+        sdf0 = _norm_inf(cache.g - cache.jt_y) * scale
+        comp_scaled = jnp.max(p.s * p.y) * scale
+        max_vio = -jnp.minimum(0.0, jnp.min(cache.a))
+        jt_y_1 = _norm1(cache.jt_y)
+        feas_obj = -jnp.sum(cache.a * p.y)
+        fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj, jnp.inf)
+        fark2 = (jt_y_1 + jnp.dot(p.s, p.y)) / _norm1(p.y)
+        return self._term_verdict(p, cache, sdf0, comp_scaled, max_vio,
+                                  fark1, fark2)
 
+    def terminate_f64(self, p: Point, cache: Cache, pdata=None, bvals=None):
+        """Termination with every measured quantity evaluated by f64
+        oracles (the residual_precision="f64" branch; also used by the
+        between-chunk batch recheck, parallel/batch.py — an f32-measured
+        loop whose noise floor blocks a certificate gets a near-free
+        exact re-measurement every chunk instead of per iteration)."""
+        scale = self.dual_scale(p.y, p.s)
+        gl64 = self.nlp.grad_lag_hi(p.x, p.y, 0.0, pdata)
+        sdf0 = (_norm_inf(gl64)
+                * scale.astype(jnp.float64)).astype(self.dtype)
+        sy64 = p.s.astype(jnp.float64) * p.y.astype(jnp.float64)
+        comp_scaled = (jnp.max(sy64)
+                       * scale.astype(jnp.float64)).astype(self.dtype)
+        a64 = self.nlp.a_of_hi(p.x, bvals, pdata)
+        max_vio = (-jnp.minimum(0.0, jnp.min(a64))).astype(self.dtype)
+        # Farkas certificate in f64 as well: the numerator ||J^T y||_1
+        # must reach ~tol_inf_2 * ||y||_1, below the f32 VJP noise
+        # floor on badly-scaled duals (see nlp.jtprod_hi)
+        y64 = p.y.astype(jnp.float64)
+        jt_y_1 = _norm1(self.nlp.jtprod_hi(p.x, p.y, pdata))
+        feas_obj = -jnp.sum(a64 * y64)
+        fark1 = jnp.where(feas_obj > 0.0, jt_y_1 / feas_obj,
+                          jnp.inf).astype(self.dtype)
+        fark2 = ((jt_y_1 + jnp.dot(p.s.astype(jnp.float64), y64))
+                 / _norm1(y64)).astype(self.dtype)
+        return self._term_verdict(p, cache, sdf0, comp_scaled, max_vio,
+                                  fark1, fark2)
+
+    def _term_verdict(self, p, cache, sdf0, comp_scaled, max_vio,
+                      fark1, fark2):
+        pars = self.pars
         tol = pars.term.tol_opt
         optimal = (sdf0 < tol) & (comp_scaled < tol) & (max_vio < tol)
         infeas = ((max_vio > tol) & (fark1 < pars.term.tol_inf_1)

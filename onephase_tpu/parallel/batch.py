@@ -43,6 +43,9 @@ class BatchSolver:
             lambda x0: self.kernel._initial_state(x0)))
         self._init_batch_bvals = jax.jit(jax.vmap(self.kernel._initial_state))
         self._run_batch = jax.jit(jax.vmap(self.kernel._run_chunk))
+        self._term64_batch = jax.jit(jax.vmap(
+            lambda st: self.kernel.terminate_f64(st.p, st.cache, st.pdata,
+                                                 st.bvals)))
 
     def init(self, x0s, bvals=None, pdata=None) -> State:
         """x0s: (B, n) starting points -> batched State.
@@ -78,6 +81,17 @@ class BatchSolver:
         from ..ipm.state import MAX_TIME
 
         t0 = _time.time()
+        # between-chunk f64 termination recheck: the in-loop f32
+        # measurement is conservative (VJP/matmul noise sits ON TOP of the
+        # true residuals, so it produces false NEGATIVES, never false
+        # certificates); one exact f64 re-measurement of the still-RUNNING
+        # iterates every chunk (~25 outer its) releases the instances the
+        # noise floor is holding hostage, at ~1/25th the cost of measuring
+        # f64 in-loop.  Engaged only when it can change anything.
+        recheck = (jax.config.jax_enable_x64
+                   and self.kernel.dtype != jnp.float64
+                   and self.pars.kkt.residual_precision != "f64"
+                   and self.pars.term.batch_f64_recheck)
         st = self.init(x0s, bvals, pdata)
         for _ in range(max_chunks):
             if not bool(jnp.any(st.status == RUNNING)):
@@ -88,6 +102,11 @@ class BatchSolver:
                 ).astype(jnp.int32))
                 break
             st = self.run_chunk(st)
+            if recheck and bool(jnp.any(st.status == RUNNING)):
+                codes = self._term64_batch(st)
+                st = st._replace(status=jnp.where(
+                    (st.status == RUNNING) & (codes != RUNNING),
+                    codes, st.status).astype(jnp.int32))
         return st
 
     def statuses(self, st: State):

@@ -96,6 +96,24 @@ def _finite(lo, hi):
     return lo, hi
 
 
+def equilibrate_rows(d: LPData) -> LPData:
+    """Scale every constraint row to unit inf-norm (row equilibration —
+    the standard LP-preprocessing step every industrial solver applies
+    internally; HiGHS scales inside, so the f32 lane must too or it pays
+    the raw row conditioning).  The primal solution and feasibility SET
+    are unchanged (each row and its bounds divide by the same positive
+    constant); only constraint duals change units, which BucketResult
+    does not expose."""
+    if d.m == 0:
+        return d
+    r = np.max(np.abs(d.A), axis=1)
+    r = np.where(r > 0.0, r, 1.0)
+    return LPData(cvec=d.cvec, A=d.A / r[:, None],
+                  lcon=d.lcon / r, ucon=d.ucon / r,
+                  lvar=d.lvar, uvar=d.uvar, x0=d.x0,
+                  name=d.name, c0=d.c0)
+
+
 def pad_lp(d: LPData, n_pad: int, m_pad: int) -> LPData:
     """Pad to (n_pad vars, m_pad rows) with neutral data; all bounds finite."""
     n, m = d.n, d.m
@@ -154,7 +172,8 @@ def solve_bucketed(problems: Dict[str, LPData],
                    round_to: int = 64,
                    max_batch: int = 256,
                    dtype=None,
-                   escalate_f64: bool = False) -> Dict[str, BucketResult]:
+                   escalate_f64: bool = False,
+                   scale_rows: bool = True) -> Dict[str, BucketResult]:
     """Solve a heterogeneous dict of LPs as shape-bucketed vmapped batches.
 
     Compiled solvers are cached per (shape-class, pars, dtype) for the
@@ -176,6 +195,8 @@ def solve_bucketed(problems: Dict[str, LPData],
     reduced, insts = [], []
     for name, d in zip(names, raw):
         red, xf, free = eliminate_fixed(d)
+        if scale_rows:
+            red = equilibrate_rows(red)
         reduced.append(red)
         insts.append(_Instance(name=name, n_true=red.n, x_fixed=xf,
                                free_idx=free, c0=red.c0))
@@ -239,24 +260,27 @@ def solve_bucketed(problems: Dict[str, LPData],
             if not jax.config.jax_enable_x64:
                 raise ValueError("escalate_f64 requires jax_enable_x64")
             # run the escalation pass on the HOST CPU when the default
-            # backend emulates f64 (TPU) AND the instances are small:
-            # native f64 on a handful of small endgame-limited instances
-            # beats emulated f64 on the chip and keeps the accelerator
-            # free for the f32 bulk — a heterogeneous two-tier solve.
-            # Above ~512 columns the O(n^3) factor work makes the chip's
-            # emulated f64 (MXU-based) faster than the host again.
-            n_esc_max = max(problems[k].n for k in unresolved)
+            # backend emulates f64 (TPU): native f64 on a handful of
+            # endgame-limited instances keeps the accelerator free for
+            # the f32 bulk — a heterogeneous two-tier solve.  (Running
+            # the emulated-f64 bucket on the chip was tried and CRASHES
+            # the axon TPU worker at n>=1024 — the same f64+large-program
+            # signature as the ECON250 chunk-size crash; see
+            # results/chunk_crash_bisect.md.)  The f64 lane certifies in
+            # well under half the f32 budget (diag_infeas.py: <=40 its vs
+            # 120), so the escalation budget is capped to bound host cost.
+            esc_pars = pars.with_overrides({
+                "term.max_it": min(pars.term.max_it, 80)})
             try:
                 esc_dev = (jax.devices("cpu")[0]
-                           if (jax.default_backend() != "cpu"
-                               and n_esc_max <= 512) else None)
+                           if jax.default_backend() != "cpu" else None)
             except RuntimeError:
                 esc_dev = None
             ctx = (jax.default_device(esc_dev) if esc_dev is not None
                    else contextlib.nullcontext())
             with ctx:
                 res64 = solve_bucketed({k: problems[k] for k in unresolved},
-                                       pars, round_to=round_to,
+                                       esc_pars, round_to=round_to,
                                        max_batch=max_batch, dtype=jnp.float64,
                                        escalate_f64=False)
             for k, r in res64.items():

@@ -138,7 +138,8 @@ def main():
         "kkt.it_refine_highprec": True})
 
     results = []
-    for density, label in ((None, "netlib(~8/row)"), (0.5, "dense(50%)")):
+    # dense lane first: it is the regime where the MXU should win
+    for density, label in ((0.5, "dense(50%)"), (None, "netlib(~8/row)")):
         run_lane(sizes, args.batch, density, pars, 128, jnp.float32,
                  label, results)
 
