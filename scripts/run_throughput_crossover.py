@@ -134,7 +134,15 @@ def main():
     pars = Params().with_overrides({
         "output_level": 0, "term.max_it": 120, "term.tol_opt": 1e-4,
         "term.tol_inf_2": 1e-3,
+        # invchol (explicit M=Q^-1, fastest backsolves) + ADAPTIVE
+        # double-single refinement: measured on-chip at n=512 dense,
+        # fixed-3 highprec passes leave 12/64 unresolved at f32 and
+        # "xla" trisolves 2/64 at 6x backsolve cost; adaptive-8 resolves
+        # 64/64 at the invchol speed (easy iterations exit after 1-2
+        # passes, the ill-conditioned endgame gets up to 8)
         "chunk_size": 25, "kkt.linear_solver_type": "invchol",
+        "kkt.it_refine_adaptive": True, "kkt.it_refine_max": 8,
+        "kkt.it_refine_tol": 5e-7,
         "kkt.it_refine_highprec": True})
 
     results = []
@@ -152,7 +160,7 @@ def main():
     payload = {
         "device": str(jax.devices()[0]),
         "config": {"tol_opt": 1e-4, "tol_inf_2": 1e-3, "max_it": 120,
-                   "factor": "f32 MXU (invchol)",
+                   "factor": "f32 MXU (invchol, adaptive ds-refine)",
                    "measurement": "f32 in-loop + CPU-f64 escalation",
                    "batch": args.batch},
         "crossover_n_warm": crossover,
