@@ -158,6 +158,13 @@ class OnePhaseKernel:
             # matrix-free structured kernels never materialize J/H, even
             # as folded constants (BandedKernel matrix_free mode)
             cjac = chess = False
+        # declared-zero Hessian (NLPSpec.zero_hess — LPs): no (n, n) H is
+        # evaluated, stored or multiplied anywhere (schur path only; the
+        # symmetric paths block H into K and keep the materialized form)
+        self._H_zero = (getattr(nlp.spec, "zero_hess", False)
+                        and pars.kkt.kkt_solver_type == "schur")
+        if self._H_zero:
+            chess = False
         self._param_const_jac = cjac and nlp.parametric
         self._param_const_hess = chess and nlp.parametric
         self._Jc_const = (nlp.jac_orig(x0j)
@@ -405,6 +412,8 @@ class OnePhaseKernel:
         return self._Jc_const if self._Jc_const is not None else fact.Jc
 
     def _fact_h(self, fact: Factor):
+        if self._H_zero:
+            return None         # declared-zero Hessian: no H exists
         return self._H_const if self._H_const is not None else fact.H
 
     def fact_jprod(self, fact: Factor, v):
@@ -417,6 +426,8 @@ class OnePhaseKernel:
 
     def fact_hmul(self, fact: Factor, v):
         """Lagrangian-Hessian product H @ v at the factorization point."""
+        if self._H_zero:
+            return jnp.zeros_like(v)
         return self._fact_h(fact) @ v
 
     def _store_jc(self, Jc):
@@ -429,7 +440,7 @@ class OnePhaseKernel:
         return Jc
 
     def _store_h(self, H):
-        if self._H_const is not None:
+        if self._H_zero or self._H_const is not None:
             return jnp.zeros((0, 0), self.dtype)
         return H
 
@@ -525,7 +536,9 @@ class OnePhaseKernel:
         """
         nlp = self.nlp
         y_eff = p.y + p.mu * self.pars.a_norm_penalty
-        if self._H_const is not None:
+        if self._H_zero:
+            H = None            # declared-zero Hessian (LP): never built
+        elif self._H_const is not None:
             H = self._H_const
         elif self._param_const_hess:
             H = prev.H          # evaluated once per solve in _initial_state
@@ -654,7 +667,10 @@ class OnePhaseKernel:
                                            v_lo)
             else:
                 w_hi, w_lo = zeros, zeros
-            h_hi, h_lo = dsr.ds_matvec(self._fact_h(fact), dx_hi, dx_lo)
+            if self._H_zero:
+                h_hi, h_lo = zeros, zeros
+            else:
+                h_hi, h_lo = dsr.ds_matvec(self._fact_h(fact), dx_hi, dx_lo)
             d_hi, d_e = dsr.two_prod(diag_term, dx_hi)
             d_lo = d_e + diag_term * dx_lo
             a_hi, a_lo = dsr.ds_add(w_hi, w_lo, h_hi, h_lo)

@@ -71,7 +71,7 @@ def lp_spec(cvec, A, lcon, ucon, lvar=None, uvar=None, x0=None,
         uvar=uvar if uvar is not None else np.full(n, INF),
         x0=x0 if x0 is not None else np.zeros(n),
         lin=tuple(range(m)), name=name,
-        constant_jac=True, constant_hess=True)
+        constant_jac=True, constant_hess=True, zero_hess=True)
 
 
 def perturb_infeasible(spec: NLPSpec, scale: float = 1.0) -> NLPSpec:

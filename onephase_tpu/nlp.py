@@ -58,6 +58,13 @@ class NLPSpec:
     # The kernel then evaluates them once instead of per outer iteration.
     constant_jac: bool = False
     constant_hess: bool = False
+    # LP declaration: the Lagrangian Hessian is IDENTICALLY ZERO (linear f
+    # and c).  The kernel then stores no (n, n) H at all and skips every
+    # H product — for parametric LP buckets this removes a per-instance
+    # dense zero matrix from the carried state (16 MB/instance of zeros
+    # at n=2048 — the batched-bucket OOM) and a dense matmul per
+    # refinement pass.
+    zero_hess: bool = False
     # --- parametric problem data (TPU-first capability, no reference
     # counterpart): when `pdata` is set, `f` and `c` are called as
     # f(x, pdata) / c(x, pdata) with pdata a pytree of arrays.  A batch of

@@ -197,16 +197,21 @@ def xla_fused_q(Jc, w, H, bnd, mxu_dtype=None):
     role as a refinement preconditioner (ipm/core.refine_solve uses the
     full-precision H/Jc for residuals).
     """
+    # H is None for declared-zero Hessians (NLPSpec.zero_hess — LPs):
+    # no (n, n) H exists anywhere, Q is the rank-m update + bound diagonal
     if Jc.shape[0] > 0:
         if mxu_dtype is not None:
             sw = jnp.sqrt(w)
             Js = (Jc * sw[:, None]).astype(mxu_dtype)
-            Q = H + jnp.matmul(
-                Js.T, Js, preferred_element_type=jnp.float32).astype(H.dtype)
+            upd = jnp.matmul(
+                Js.T, Js,
+                preferred_element_type=jnp.float32).astype(bnd.dtype)
         else:
-            Q = H + (Jc * w[:, None]).T @ Jc
+            upd = (Jc * w[:, None]).T @ Jc
+        Q = upd if H is None else H + upd
     else:
-        Q = H
+        Q = (jnp.zeros((bnd.shape[0], bnd.shape[0]), bnd.dtype)
+             if H is None else H)
     return Q + jnp.diag(bnd)
 
 
@@ -218,6 +223,7 @@ def fused_q(Jc, w, H, bnd, use_pallas: bool, mxu_dtype=None):
     cholesky/solve kernels are the ones interpret-mode tests exercise.
     """
     from . import INTERPRET
-    if use_pallas and Jc.shape[0] > 0 and not INTERPRET and mxu_dtype is None:
+    if (use_pallas and Jc.shape[0] > 0 and not INTERPRET
+            and mxu_dtype is None and H is not None):
         return pallas_fused_q(Jc, w, H, bnd)
     return xla_fused_q(Jc, w, H, bnd, mxu_dtype)

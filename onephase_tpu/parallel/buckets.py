@@ -150,7 +150,7 @@ def bucket_template(n_pad: int, m_pad: int) -> NLPSpec:
         lvar=np.full(n_pad, -1.0), uvar=np.full(n_pad, 1.0),
         x0=np.zeros(n_pad), lin=tuple(range(m_pad)),
         name=f"lp_bucket_{n_pad}x{m_pad}",
-        constant_jac=True, constant_hess=True, pdata=pdata)
+        constant_jac=True, constant_hess=True, zero_hess=True, pdata=pdata)
 
 
 def bucket_shapes(datas: Sequence[LPData], round_to: int = 64) -> Dict[Tuple[int, int], List[int]]:
