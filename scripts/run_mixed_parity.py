@@ -70,8 +70,13 @@ def main():
         # threshold was measured to miss 22/96 — tighter measurement
         # cannot manufacture a better certificate than the iterates carry).
         "term.tol_inf_2": 1e-3,
-        "kkt.residual_precision": "f64",
+        # r4 final lane: pure-f32 hot loop (no in-loop emulated f64) +
+        # adaptive double-single refinement (resolves the ill-conditioned
+        # endgame at f32, see ipm/core._refine_solve_hp) + between-chunk
+        # f64 recheck + CPU-f64 escalation for the residue
         "chunk_size": 25, "kkt.linear_solver_type": "invchol",
+        "kkt.it_refine_adaptive": True, "kkt.it_refine_max": 8,
+        "kkt.it_refine_tol": 5e-7,
         "kkt.it_refine_highprec": True})
 
     # --- one-phase lane: bucketed batches on the device ---------------
