@@ -40,6 +40,9 @@ class LPData:
     x0: Optional[np.ndarray] = None
     name: str = "lp"
     c0: float = 0.0
+    # "max" records that the source file declared OBJSENSE MAX; cvec/c0 are
+    # already negated to min-form, so the min-form optimum is -(file optimum).
+    objsense: str = "min"
 
     @property
     def n(self):
@@ -191,6 +194,14 @@ def read_mps_data(path: str, name: Optional[str] = None) -> LPData:
     free_vars = set()
     prob_name = name or "mps"
     in_integer = False
+    objsense = "min"
+
+    def _is_num(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
 
     for raw in lines:
         if not raw.strip() or raw.lstrip().startswith("*"):
@@ -200,11 +211,18 @@ def read_mps_data(path: str, name: Optional[str] = None) -> LPData:
             section = tok[0].upper()
             if section == "NAME" and len(tok) > 1 and name is None:
                 prob_name = tok[1]
+            # OBJSENSE may carry the sense inline ("OBJSENSE MAX") or on
+            # the following indented line (both appear in real archives).
+            if section == "OBJSENSE" and len(tok) > 1:
+                objsense = ("max" if tok[1].upper().startswith("MAX")
+                            else "min")
             if section == "ENDATA":
                 break
             continue
         tok = raw.split()
-        if section == "ROWS":
+        if section == "OBJSENSE":
+            objsense = "max" if tok[0].upper().startswith("MAX") else "min"
+        elif section == "ROWS":
             rt, rn = tok[0].upper(), tok[1]
             if rt == "N":
                 if obj_row is None:
@@ -222,19 +240,31 @@ def read_mps_data(path: str, name: Optional[str] = None) -> LPData:
                 col_order.append(cn)
             for i in range(1, len(tok) - 1, 2):
                 cols[cn][tok[i]] = float(tok[i + 1])
-        elif section == "RHS":
-            for i in range(1, len(tok) - 1, 2):
-                rhs[tok[i]] = float(tok[i + 1])
-        elif section == "RANGES":
-            for i in range(1, len(tok) - 1, 2):
-                ranges[tok[i]] = float(tok[i + 1])
+        elif section in ("RHS", "RANGES"):
+            # The RHS/RANGES *set name* (tok[0]) is optional in real files:
+            # with it the line has an odd token count (name + pairs),
+            # without it an even count (pairs only).
+            start = 1 if len(tok) % 2 == 1 else 0
+            dst = rhs if section == "RHS" else ranges
+            for i in range(start, len(tok) - 1, 2):
+                dst[tok[i]] = float(tok[i + 1])
         elif section == "BOUNDS":
             bt = tok[0].upper()
-            cn = tok[2]
-            val = float(tok[3]) if len(tok) > 3 else 0.0
-            if bt == "LO":
+            # Bound-set name (tok[1]) is also optional: detect by whether
+            # the value slot parses as a number (value-typed bounds) or by
+            # token count (value-free FR/MI/PL/BV).
+            if bt in ("FR", "MI", "PL", "BV"):
+                cn = tok[1] if len(tok) == 2 else tok[2]
+                val = 0.0
+            elif len(tok) >= 4:
+                cn, val = tok[2], float(tok[3])
+            elif len(tok) == 3 and _is_num(tok[2]):
+                cn, val = tok[1], float(tok[2])
+            else:  # "UP BND C1" with the value omitted -> 0.0
+                cn, val = tok[2], 0.0
+            if bt in ("LO", "LI"):
                 lo[cn] = val
-            elif bt == "UP":
+            elif bt in ("UP", "UI"):
                 up[cn] = val
                 if val < 0 and cn not in lo:
                     lo[cn] = -INF
@@ -297,5 +327,7 @@ def read_mps_data(path: str, name: Optional[str] = None) -> LPData:
                 uvar[j] = up[cn]
 
     c0 = -rhs.get(obj_row, 0.0)  # objective-row RHS is a constant offset
+    if objsense == "max":  # solve min-form; optimum = -(file optimum)
+        cvec, c0 = -cvec, -c0
     return LPData(cvec=cvec, A=A, lcon=lcon, ucon=ucon, lvar=lvar, uvar=uvar,
-                  name=prob_name, c0=c0)
+                  name=prob_name, c0=c0, objsense=objsense)

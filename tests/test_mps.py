@@ -101,6 +101,68 @@ def test_objective_constant_and_fixed_var(tmp_path):
     assert d.lcon[0] == 1.0 and d.ucon[0] == INF
 
 
+def test_objsense_max_inline_and_section(tmp_path):
+    # OBJSENSE appears inline ("OBJSENSE MAX") and as a section header with
+    # the sense on the next indented line; both negate cvec/c0 to min-form.
+    body = HEADER.format(
+        rows="L  R1",
+        cols="    X  COST  2.0\n    X  R1  1.0",
+        rhs="    RHS  COST  3.0\n    RHS  R1  5.0",
+        extra="")
+    for sense_block in ("OBJSENSE MAX\n", "OBJSENSE\n    MAXIMIZE\n"):
+        d = _read_str(tmp_path, sense_block + body, name="mx")
+        assert d.objsense == "max"
+        assert d.cvec[0] == -2.0 and d.c0 == 3.0
+    d = _read_str(tmp_path, "OBJSENSE\n    MIN\n" + body, name="mn")
+    assert d.objsense == "min" and d.cvec[0] == 2.0 and d.c0 == -3.0
+
+
+def test_omitted_set_names_rhs_ranges_bounds(tmp_path):
+    # Real archives sometimes omit the RHS/RANGES/BOUNDS set-name column:
+    # "    R1  4.0" instead of "    RHS  R1  4.0" (even token count), and
+    # " UP  X  3.0" / " FR  X" in BOUNDS.
+    txt = HEADER.format(
+        rows="L  R1\n G  R2",
+        cols="    X  COST  1.0\n    X  R1  2.0  R2  1.0\n"
+             "    Y  R1  1.0  R2  1.0",
+        rhs="    R1  4.0  R2  1.0",
+        extra=("RANGES\n    R1  3.0\n"
+               "BOUNDS\n UP  X  3.0\n FR  Y\n"))
+    d = _read_str(tmp_path, txt)
+    assert d.ucon[0] == 4.0 and d.lcon[0] == 1.0       # RHS + RANGES, no set
+    assert d.lcon[1] == 1.0
+    assert d.uvar[0] == 3.0 and d.lvar[0] == 0.0       # UP without set name
+    assert d.lvar[1] == -INF and d.uvar[1] == INF      # FR without set name
+
+
+def test_shared_column_out_of_order_and_second_n_row(tmp_path):
+    # A column split across non-contiguous COLUMNS blocks must accumulate
+    # into one column; a second N row is a free row whose entries are
+    # dropped (first N row is the objective).
+    txt = HEADER.format(
+        rows="L  R1",
+        cols="    X  COST  1.0\n    X  R1  2.0\n"
+             "    Y  R1  1.0\n"
+             "    X  FREE  9.0",        # X reappears after Y
+        rhs="    RHS  R1  4.0",
+        extra="")
+    txt = txt.replace(" N  COST\n", " N  COST\n N  FREE\n")
+    d = _read_str(tmp_path, txt)
+    assert d.n == 2 and d.m == 1
+    assert d.A[0, 0] == 2.0 and d.A[0, 1] == 1.0
+    assert d.cvec[0] == 1.0 and d.cvec[1] == 0.0
+
+
+def test_integer_bounds_li_ui(tmp_path):
+    txt = HEADER.format(
+        rows="L  R1",
+        cols="    X  COST  1.0\n    X  R1  1.0",
+        rhs="    RHS  R1  5.0",
+        extra="BOUNDS\n LI BND  X  1.0\n UI BND  X  4.0\n")
+    d = _read_str(tmp_path, txt)
+    assert d.lvar[0] == 1.0 and d.uvar[0] == 4.0
+
+
 def test_roundtrip_random(tmp_path):
     rng = np.random.default_rng(0)
     m, n = 13, 9
