@@ -157,6 +157,16 @@ class TermParams:
     # recheck can only release instances, never mis-certify; needs
     # jax_enable_x64.
     batch_f64_recheck: bool = True
+    # TPU addition: per-instance stall exit for batched f32 campaigns.  A
+    # masked vmapped batch runs until its SLOWEST instance terminates, so
+    # one f32-floor-limited straggler burns whole-batch iterations (the
+    # median netlib-pool instance lands in ~14 outer its; a stalling one
+    # forces all 120).  When > 0: an instance whose progress measure
+    # mu + max_violation has not improved by stall_rtol in stall_patience
+    # consecutive outer iterations exits with status STALLED, which the
+    # bucket driver treats like MAX_IT (CPU-f64 escalation).  0 = off.
+    stall_patience: int = 0
+    stall_rtol: float = 0.02
 
 
 @dataclass(frozen=True)

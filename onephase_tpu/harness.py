@@ -35,6 +35,7 @@ TABLE_STATUS = {
     "MAX_DELTA": "MAX_DELTA",
     "NaN_ERR": "NaN_ERR",
     "ERR": "ERR",
+    "STALLED": "MAX_IT",   # no-progress exit; table-equivalent to MAX_IT
 }
 
 

@@ -42,7 +42,7 @@ from .state import (Cache, Dir, Factor, Filter, History, LSInfo, Point, State,
                     LS_MIN_ALPHA, LS_NAN_DIR, LS_NAN_ERR, LS_NONE,
                     LS_NOT_ENOUGH_PROGRESS, LS_PREDICT_RED_NON_NEG, LS_S_BOUND,
                     LS_SUCCESS, MAX_DELTA, MAX_GRADIENT, MAX_IT, OPTIMAL,
-                    PRIMAL_INFEASIBLE, RUNNING)
+                    PRIMAL_INFEASIBLE, RUNNING, STALLED)
 
 # step-type codes for history
 STEP_IT0 = 0
@@ -1574,6 +1574,21 @@ class OnePhaseKernel:
             do = (st.status == RUNNING) & (st.step_ok if not first
                                            else jnp.asarray(True))
             st = lax.cond(do, run, lambda s: s, st)
+        if self.pars.term.stall_patience > 0:
+            # per-instance stall exit (term.stall_patience): an f32-floor-
+            # limited instance stops improving mu + max_vio long before
+            # max_it; release it as STALLED so a masked batch is not held
+            # hostage by its slowest straggler (buckets escalates it to f64)
+            prog = st.p.mu + (-jnp.minimum(0.0, jnp.min(st.cache.a)))
+            improved = prog < st.best_prog * (1.0 - self.pars.term.stall_rtol)
+            best = jnp.where(improved, prog, st.best_prog)
+            last_t = jnp.where(improved, st.t, st.last_prog_t)
+            stalled = ((st.status == RUNNING)
+                       & (st.t - last_t >= self.pars.term.stall_patience))
+            st = st._replace(
+                best_prog=best, last_prog_t=last_t,
+                status=jnp.where(stalled, STALLED,
+                                 st.status).astype(jnp.int32))
         return st._replace(t=st.t + 1)
 
     def _run_chunk(self, st: State) -> State:
@@ -1767,7 +1782,11 @@ class OnePhaseKernel:
                    agg_mask=jnp.asarray(False),
                    num_fac_inertia=jnp.asarray(0, jnp.int32),
                    tot_num_fac=jnp.asarray(0, jnp.int32),
-                   cum_fac=nfac, bvals=bvals, pdata=pdata)
+                   cum_fac=nfac, bvals=bvals, pdata=pdata,
+                   best_prog=(jnp.asarray(jnp.inf, dt)
+                              if pars.term.stall_patience > 0 else None),
+                   last_prog_t=(jnp.asarray(0, jnp.int32)
+                                if pars.term.stall_patience > 0 else None))
         # init factorization failure -> MAX_DELTA (reference errors out)
         st = st._replace(status=jnp.where(succ, RUNNING, MAX_DELTA).astype(jnp.int32))
         # termination check at the starting point (one_phase.jl:152-166)

@@ -23,6 +23,10 @@ MAX_IT = 5                 # :MAX_IT
 MAX_TIME = 6               # :MAX_TIME
 MAX_DELTA = 7              # :MAX_DELTA
 NAN_ERR = 8                # :NaN_ERR (harness-level in the reference)
+STALLED = 9                # TPU addition: per-instance no-progress exit
+                           # (term.stall_patience) — batched campaigns hand
+                           # these to the f64 escalation pass early instead
+                           # of burning masked whole-batch iterations
 
 STATUS_NAMES = {
     RUNNING: "RUNNING",
@@ -34,6 +38,7 @@ STATUS_NAMES = {
     MAX_TIME: "MAX_TIME",
     MAX_DELTA: "MAX_DELTA",
     NAN_ERR: "NaN_ERR",
+    STALLED: "STALLED",
 }
 
 # line-search / step statuses (internal)
@@ -156,3 +161,7 @@ class State(NamedTuple):
     pdata: dict                # parametric problem data pytree (traced;
                                # enables batching over instance data — {} for
                                # non-parametric problems, see nlp.NLPSpec)
+    # stall-exit tracking (term.stall_patience > 0 only; None otherwise so
+    # the pytree stays unchanged for existing configs)
+    best_prog: jnp.ndarray = None   # best mu + max_vio seen
+    last_prog_t: jnp.ndarray = None  # outer iteration of last improvement

@@ -37,6 +37,7 @@ STATUS_TO_MOI = {
     "MAX_DELTA": "NUMERICAL_ERROR",
     "NaN_ERR": "NUMERICAL_ERROR",
     "RUNNING": "OPTIMIZE_NOT_CALLED",
+    "STALLED": "SLOW_PROGRESS",
 }
 
 

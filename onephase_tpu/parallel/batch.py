@@ -102,10 +102,15 @@ class BatchSolver:
                 ).astype(jnp.int32))
                 break
             st = self.run_chunk(st)
-            if recheck and bool(jnp.any(st.status == RUNNING)):
+            # STALLED instances also get the exact recheck: a stall at the
+            # f32 measurement floor may already satisfy the f64-measured
+            # certificate, avoiding the escalation pass entirely
+            from ..ipm.state import STALLED
+            rc_mask = (st.status == RUNNING) | (st.status == STALLED)
+            if recheck and bool(jnp.any(rc_mask)):
                 codes = self._term64_batch(st)
                 st = st._replace(status=jnp.where(
-                    (st.status == RUNNING) & (codes != RUNNING),
+                    rc_mask & (codes != RUNNING),
                     codes, st.status).astype(jnp.int32))
         return st
 

@@ -255,7 +255,7 @@ def solve_bucketed(problems: Dict[str, LPData],
     if escalate_f64 and dtype != jnp.float64:
         import jax
         unresolved = sorted(name for name, r in out.items()
-                            if r.status in ("MAX_IT", "MAX_DELTA"))
+                            if r.status in ("MAX_IT", "MAX_DELTA", "STALLED"))
         if unresolved:
             if not jax.config.jax_enable_x64:
                 raise ValueError("escalate_f64 requires jax_enable_x64")

@@ -91,3 +91,36 @@ def test_solve_bucketed_matches_singles():
     # known argmins
     assert res["simplex2"].obj == pytest.approx(-1.0, abs=1e-5)
     assert res["eq_fix3"].obj == pytest.approx(1.5 + 1.5, abs=1e-4)  # x=1.5,y=0,z=.5
+
+
+def test_stall_exit_releases_straggler():
+    """term.stall_patience: an instance with no mu+violation progress exits
+    as STALLED well before max_it, and converging instances are untouched
+    (same statuses/objs as the patience-off run)."""
+    import jax.numpy as jnp
+
+    ps = _problems()
+    base = {"output_level": 0, "term.max_it": 200}
+    pars_off = Params().with_overrides(base)
+    pars_on = Params().with_overrides({**base, "term.stall_patience": 20})
+    res_off = solve_bucketed(ps, pars_off, round_to=8, dtype=jnp.float64)
+    res_on = solve_bucketed(ps, pars_on, round_to=8, dtype=jnp.float64)
+    for name in ps:
+        assert res_on[name].status == res_off[name].status, name
+        if res_on[name].status == "Optimal":
+            assert res_on[name].obj == pytest.approx(res_off[name].obj,
+                                                     rel=1e-6, abs=1e-8)
+
+    # a genuinely stalling instance: tol far below the f32 floor in f32
+    # arithmetic -> mu bottoms out, patience fires long before max_it
+    stall = {"hard": LPData(
+        cvec=np.array([-1.0, -1.0]), A=np.array([[1.0, 1.0]]),
+        lcon=np.array([-INF]), ucon=np.array([1.0]),
+        lvar=np.zeros(2), uvar=np.full(2, INF))}
+    pars_tight = Params().with_overrides({
+        "output_level": 0, "term.max_it": 500, "term.tol_opt": 1e-14,
+        "term.stall_patience": 20})
+    r = solve_bucketed(stall, pars_tight, round_to=8,
+                       dtype=jnp.float32)["hard"]
+    assert r.status in ("STALLED", "MAX_DELTA"), r.status
+    assert r.iterations < 450, r.iterations
