@@ -70,7 +70,11 @@ class KKTParams:
     #          Profile-driven: Q formation is the 42.1% cost item and the
     #          MXU runs bf16 at ~4x f32 (results/profile_kernels_tpu.md).
     q_form_dtype: str = "same"
-    kkt_solver_type: str = "schur"    # schur | symmetric (reference default :schur)
+    # schur | symmetric | clever_symmetric (reference default :schur), plus
+    # TPU addition schur_dual: Woodbury/normal-equations factorization of
+    # the (m_orig, m_orig) dual matrix for zero-Hessian LPs with m < n
+    # (ipm/dual.py) — 8-16x fewer factorization flops at m = n/2
+    kkt_solver_type: str = "schur"
     # chain_partitions (TPU addition; ChainKernel only): >1 factors the
     # block-tridiagonal Schur complement with that many parallel chunks
     # (nested dissection: interiors vmapped/mesh-shardable, tiny sequential

@@ -37,7 +37,8 @@ class BatchSolver:
         if pars.batch_max_step_attempts > 0:
             pars = pars.with_overrides(
                 {"max_step_attempts": pars.batch_max_step_attempts})
-        self.kernel = OnePhaseKernel(nlp, pars)
+        from ..ipm.dual import make_kernel
+        self.kernel = make_kernel(nlp, pars)
         self.pars = pars
         self._init_batch = jax.jit(jax.vmap(
             lambda x0: self.kernel._initial_state(x0)))

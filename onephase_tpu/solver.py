@@ -80,7 +80,8 @@ def one_phase_solve(problem, pars: Optional[Params] = None,
                 canon = (problem if isinstance(problem, CanonNLP)
                          else canonicalize(problem))
             with timer.span("build_kernel"):
-                kernel = OnePhaseKernel(canon, pars)
+                from .ipm.dual import make_kernel
+                kernel = make_kernel(canon, pars)
         with timer.span("initial_state"):
             st = kernel.initial_state()
 
