@@ -63,6 +63,7 @@ class ShardedBatchSolver(BatchSolver):
             return NamedSharding(self.mesh, spec)
 
         self._shard_leaf = shard_leaf
+        self._run_pinned = None
 
     def shard_state(self, st: State) -> State:
         return jax.tree_util.tree_map(
@@ -85,7 +86,29 @@ class ShardedBatchSolver(BatchSolver):
             bvals = jax.tree_util.tree_map(put, bvals)
         if pdata is not None:
             pdata = jax.tree_util.tree_map(put, pdata)
-        return BatchSolver.init(self, x0s, bvals, pdata)
+        # Pin EVERY state leaf to the 'dp' sharding.  The init program only
+        # receives sharded x0s, so XLA marks the leaves it creates from
+        # broadcast constants (dir/filt/counters) as replicated; run_chunk
+        # then emits those same leaves 'dp'-sharded, and the signature
+        # change forced a SECOND full compile on the next run_chunk call —
+        # measured as the "22x sharding overhead" in the r4 scaling table
+        # (chunk walls 15.8s / 10.1s / 0.049s / 0.004s on the 2-device CPU
+        # mesh; see results/scaling_efficiency.md).  One device_put pass
+        # here makes every run_chunk call hit the same executable.
+        return self.shard_state(BatchSolver.init(self, x0s, bvals, pdata))
+
+    def run_chunk(self, st: State) -> State:
+        # Pin in/out shardings so every chunk call hits ONE executable.
+        # Left to GSPMD, leaves that are constant through the chunk come
+        # back replicated while the rest come back 'dp'-sharded; the
+        # signature flip between consecutive calls forced a second full
+        # compile inside the solve loop (the r4 "22x sharding overhead").
+        if self._run_pinned is None:
+            sh = jax.tree_util.tree_map(self._shard_leaf, st)
+            self._run_pinned = jax.jit(
+                jax.vmap(self.kernel._run_chunk),
+                in_shardings=(sh,), out_shardings=sh)
+        return self._run_pinned(st)
 
     def num_running(self, st: State) -> int:
         # cross-device reduction (lowers to a psum over ICI)

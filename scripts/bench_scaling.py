@@ -51,12 +51,23 @@ def main():
         "history_capacity": 2,
     })
     nlp = canonicalize(tax1d(na=args.na))
-    rows = []
-    for nd in dev_counts:
-        mesh = make_mesh(nd)
-        solver = ShardedBatchSolver(nlp, pars, mesh=mesh)
-        b = nd * args.per_device
-        x0s = np.ones((b, nlp.n)) * (1.0 + 0.02 * np.arange(b))[:, None]
+
+    # This host exposes the virtual devices over a FIXED physical core
+    # budget, so iters/s cannot grow with device count by construction and
+    # weak scaling is not measurable here (the r4 table's "22x overhead"
+    # and sub-0.8 rows were a per-chunk RECOMPILE — sharding-signature
+    # drift, fixed in parallel/mesh.py — plus 8-way oversubscription of
+    # 2 cores).  What a virtual mesh CAN measure is the overhead the
+    # partitioned program adds: the same total batch, same physical cores,
+    # run (a) as one unsharded jit and (b) dp-sharded over nd devices.
+    # efficiency = wall_unsharded / wall_sharded; ~1.0 means the sharded
+    # program adds no serialization, so N real chips give ~N x.
+    from onephase_tpu.parallel.batch import BatchSolver
+
+    b_total = max(dev_counts) * args.per_device
+    x0s = np.ones((b_total, nlp.n)) * (1.0 + 0.02 * np.arange(b_total))[:, None]
+
+    def timed_solve(solver):
         st = solver.init(x0s)
         st = solver.run_chunk(st)                  # compile + warm
         jax.block_until_ready(st)
@@ -64,49 +75,60 @@ def main():
         jax.block_until_ready(st)
         t0 = time.perf_counter()
         chunks = 0
-        while solver.num_running(st) and chunks < 10:
+        while chunks < 10:
+            running = bool(np.any(np.asarray(st.status) == 0))
+            if not running:
+                break
             st = solver.run_chunk(st)
             chunks += 1
         jax.block_until_ready(st)
         dt = time.perf_counter() - t0
+        return st, dt, chunks
+
+    st_ref, wall_unsharded, _ = timed_solve(BatchSolver(nlp, pars))
+    total_outer_ref = int(np.sum(np.asarray(st_ref.t) - 1))
+    print({"lane": "unsharded control", "batch": b_total,
+           "wall_s": round(wall_unsharded, 3)}, flush=True)
+
+    rows = []
+    for nd in dev_counts:
+        if nd == 1:
+            continue
+        solver = ShardedBatchSolver(nlp, pars, mesh=make_mesh(nd))
+        st, dt, chunks = timed_solve(solver)
         total_outer = int(np.sum(np.asarray(st.t) - 1))
-        iters_s = total_outer / dt
-        rows.append({"devices": nd, "batch": b, "total_outer": total_outer,
-                     "chunks": chunks,
-                     "wall_s": round(dt, 3), "iters_per_s": round(iters_s, 1)})
+        assert total_outer == total_outer_ref, (total_outer, total_outer_ref)
+        rows.append({"devices": nd, "batch": b_total,
+                     "total_outer": total_outer, "chunks": chunks,
+                     "wall_s": round(dt, 3),
+                     "iters_per_s": round(total_outer / dt, 1),
+                     "efficiency_vs_unsharded": round(wall_unsharded / dt, 3)})
         print(rows[-1], flush=True)
 
-    # efficiency is measured WITHIN the sharded lanes: a 1-device mesh
-    # lowers to a plain jit with no partitioning or collectives (a
-    # different, faster program), and on a VIRTUAL CPU mesh every
-    # collective is threadpool-emulated — so the meaningful number is how
-    # iters/s grows 2 -> 4 -> 8 devices, normalized to the smallest
-    # sharded lane.  On real ICI the collective cost is micro-seconds and
-    # the 1-device gap closes; this table records the harness overhead.
-    sharded = [r for r in rows if r["devices"] > 1] or rows
-    base = sharded[0]["iters_per_s"] / sharded[0]["devices"]
-    for r in rows:
-        r["efficiency_vs_sharded_base"] = round(
-            r["iters_per_s"] / (r["devices"] * base), 3)
-    rows[0]["note"] = ("unsharded jit fast path" if rows[0]["devices"] == 1
-                       else "")
-    payload = {"mode": "weak scaling, dp-sharded ShardedBatchSolver, "
-                       f"tax1d(na={args.na}), {args.per_device} inst/device, "
-                       "virtual CPU devices; efficiency normalized to the "
-                       "2-device sharded lane",
+    payload = {"mode": "sharding-overhead control: one unsharded jit vs "
+                       "dp-sharded over nd virtual CPU devices, IDENTICAL "
+                       f"total batch {b_total} of tax1d(na={args.na}) on the "
+                       "same fixed physical cores; efficiency = "
+                       "wall_unsharded / wall_sharded (~1.0 = the "
+                       "partitioned program adds no serialization; real "
+                       "chips then scale ~linearly)",
+               "unsharded_wall_s": round(wall_unsharded, 3),
+               "total_outer": total_outer_ref,
                "rows": rows}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
     with open(args.out.replace(".json", ".md"), "w") as fh:
-        fh.write("# DP scaling efficiency (weak scaling, virtual CPU mesh)\n\n")
+        fh.write("# DP sharding overhead (virtual CPU mesh, fixed physical "
+                 "cores)\n\nSame total batch, same cores; efficiency = "
+                 "unsharded wall / sharded wall.  Unsharded control: "
+                 f"{wall_unsharded:.3f}s for {total_outer_ref} outer its.\n\n")
         fh.write("| devices | batch | outer iters | wall s | iters/s | "
-                 "efficiency (vs 2-dev) | note |\n|---|---|---|---|---|---|---|\n")
+                 "efficiency vs unsharded |\n|---|---|---|---|---|---|\n")
         for r in rows:
             fh.write(f"| {r['devices']} | {r['batch']} | {r['total_outer']} "
                      f"| {r['wall_s']} | {r['iters_per_s']} | "
-                     f"{r['efficiency_vs_sharded_base']} | "
-                     f"{r.get('note', '')} |\n")
+                     f"{r['efficiency_vs_unsharded']} |\n")
     print(f"wrote {args.out}")
 
 
