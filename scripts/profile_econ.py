@@ -33,6 +33,31 @@ def timeit(fn, *args, reps=10):
     return (time.perf_counter() - t0) / reps
 
 
+def loop_time(step, carry0, iters=64, reps=3):
+    """Time `step` amortized inside ONE dispatch.
+
+    Through the axon tunnel a single dispatch costs ~27 ms — more than most
+    components themselves (the r4-era per-call numbers were flat at the
+    dispatch floor and attributed nothing).  Here the component runs
+    `iters` times inside one jitted fori_loop; inputs carry a loop-index
+    perturbation so XLA cannot CSE the calls, and the carry keeps every
+    call live.  Returns seconds per single call.
+    """
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(c0):
+        return lax.fori_loop(0, iters, step, c0)
+
+    out = jax.block_until_ready(run(carry0))    # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(run(carry0))
+    del out
+    return (time.perf_counter() - t0) / (reps * iters)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--na", type=int, default=50)
@@ -69,58 +94,86 @@ def main():
     # advance a few iterations so the profile point is representative
     st = jax.block_until_ready(kern.run_chunk(st))
 
+    # Single dispatches through the axon tunnel cost ~27 ms — more than
+    # most components (r4-era per-call timings were flat at that floor).
+    # Each component is therefore timed amortized inside ONE fori_loop
+    # dispatch; inputs carry a loop-index perturbation so XLA cannot CSE
+    # the repeated calls (see loop_time).
     rows = []
+    iters = max(args.reps, 32)
 
-    def rec(name, fn, *a):
-        t = timeit(fn, *a, reps=args.reps)
+    def rec(name, step, carry0, it=None):
+        t = loop_time(step, carry0, iters=it or iters)
         rows.append((name, t * 1e3))
-        print(f"  {name:<12} {t*1e3:9.2f} ms")
+        print(f"  {name:<12} {t*1e3:9.2f} ms", flush=True)
         return t
 
-    # oracle evals (the line search's per-trial cost: a(x) + pullback)
+    one = jnp.asarray(1.0, kern.dtype)
     x = st.p.x
 
-    @jax.jit
-    def oracle(xx):
-        import jax as _j
-        cons, pull = _j.vjp(lambda v: nlp.c(v), xx)
-        a = nlp.a_of(xx, cons, None)
-        return a, pull(jnp.ones(nlp.m_orig, kern.dtype))[0]
+    # oracle evals (the line search's per-trial cost: a(x) + pullback)
+    def oracle_step(i, c):
+        xx, acc = c
+        xv = xx * (one + 1e-12 * i)
+        cons, pull = jax.vjp(lambda v: nlp.c(v), xv)
+        a = nlp.a_of(xv, cons, None)
+        g = pull(jnp.ones(nlp.m_orig, kern.dtype))[0]
+        return xx, acc + a[0] + g[0]
 
-    rec("oracle_eval", oracle, x)
+    rec("oracle_eval", oracle_step, (x, jnp.zeros((), kern.dtype)))
 
-    @jax.jit
-    def form(stt):
-        return kern.form_factor(stt.p, stt.cache, stt.fact, stt.pdata)
-    fact = jax.block_until_ready(form(st))
-    rec("form_Q", form, st)
+    def form_step(i, c):
+        stt, acc = c
+        p = stt.p._replace(y=stt.p.y * (one + 1e-12 * i))
+        f = kern.form_factor(p, stt.cache, stt.fact, stt.pdata)
+        return stt, acc + f.Q.ravel()[0]
 
-    @jax.jit
-    def factor(f):
-        return kern.factor(f.Q, jnp.asarray(1e-6, kern.dtype))
-    (L, D), ok = jax.block_until_ready(factor(fact))
-    rec("factor", factor, fact)
+    rec("form_Q", form_step, (st, jnp.zeros((), kern.dtype)))
 
-    fin = jax.jit(kern.finalize_solver)
-    Mop = jax.block_until_ready(fin(L))
-    rec("finalize_inv", fin, L)
+    fact = jax.jit(lambda s: kern.form_factor(
+        s.p, s.cache, s.fact, s.pdata))(st)
 
-    @jax.jit
-    def direction(stt, f, Lm, Dv):
-        f2 = f._replace(L=Lm, D=Dv, delta=jnp.asarray(1e-6, kern.dtype),
-                        ok=jnp.asarray(True))
-        return kern.compute_direction(f2, stt.p, stt.cache, 0.0, 0.0, 0.0)
-    rec("direction", direction, st, fact, Mop, D)
+    def factor_step(i, c):
+        f, acc = c
+        d = jnp.asarray(1e-6, kern.dtype) * (one + 1e-9 * i)
+        (L, D), ok = kern.factor(f.Q, d)
+        return f, acc + L.ravel()[0]
 
-    @jax.jit
-    def terminate(stt):
-        return kern.terminate(stt.p, stt.cache, stt.pdata, stt.bvals)
-    rec("terminate", terminate, st)
+    rec("factor", factor_step, (fact, jnp.zeros((), kern.dtype)))
 
-    @jax.jit
-    def outer(stt):
-        return kern.outer_iter(stt)
-    rec("outer_iter", outer, st)
+    (L, D), ok = jax.jit(lambda f: kern.factor(
+        f.Q, jnp.asarray(1e-6, kern.dtype)))(fact)
+
+    def finalize_step(i, c):
+        Lm, acc = c
+        M = kern.finalize_solver(Lm * (one + 1e-14 * i))
+        return Lm, acc + M.ravel()[0]
+
+    rec("finalize_inv", finalize_step, (L, jnp.zeros((), kern.dtype)))
+
+    Mop = jax.jit(kern.finalize_solver)(L)
+    f2 = fact._replace(L=Mop, D=D, delta=jnp.asarray(1e-6, kern.dtype),
+                       ok=jnp.asarray(True))
+
+    def direction_step(i, c):
+        acc = c
+        eta = 1e-12 * i
+        dir_, kerr = kern.compute_direction(f2, st.p, st.cache,
+                                            eta, eta, eta)
+        return acc + dir_.x[0] + kerr
+
+    rec("direction", direction_step, jnp.zeros((), kern.dtype))
+
+    def terminate_step(i, c):
+        acc = c
+        p = st.p._replace(y=st.p.y * (one + 1e-12 * i))
+        code = kern.terminate(p, st.cache, st.pdata, st.bvals)
+        return acc + code
+
+    rec("terminate", terminate_step, jnp.zeros((), jnp.int32))
+
+    # the full fused outer iteration, chained through its own state
+    rec("outer_iter", lambda i, s: kern.outer_iter(s), st, it=16)
 
     total_comp = sum(t for nm, t in rows if nm != "outer_iter")
     outer_ms = dict(rows)["outer_iter"]

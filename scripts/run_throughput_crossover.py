@@ -143,7 +143,15 @@ def main():
         "chunk_size": 25, "kkt.linear_solver_type": "invchol",
         "kkt.it_refine_adaptive": True, "kkt.it_refine_max": 8,
         "kkt.it_refine_tol": 5e-7,
-        "kkt.it_refine_highprec": True})
+        "kkt.it_refine_highprec": True,
+        # r5: per-instance no-progress exit.  A vmapped batch runs until
+        # its SLOWEST instance terminates; the netlib pools carry ~4
+        # f32-floor stallers per size that forced whole batches to
+        # max_it=120 while the median instance was done at ~14 — measured
+        # as the entire 5x netlib-vs-dense gap at equal shapes
+        # (results/sparse_lane_analysis.md §1).  STALLED instances exit to
+        # the f64 recheck/escalation instead of burning masked iterations.
+        "term.stall_patience": 25})
 
     results = []
     # dense lane first: it is the regime where the MXU should win
