@@ -70,6 +70,34 @@ class KKTParams:
     #          Profile-driven: Q formation is the 42.1% cost item and the
     #          MXU runs bf16 at ~4x f32 (results/profile_kernels_tpu.md).
     q_form_dtype: str = "same"
+    # fallback_form_f32 (TPU addition; f32_fallback only): form AND carry
+    # Q on the f32 MXU instead of in emulated f64.  The f32 factorization
+    # attempt only ever consumed Q rounded to f32, so nothing is lost on
+    # the hot path; the rare fallback branch re-forms the exact f64 Q from
+    # the stored f64 J/H before the f64 Cholesky (lazily, inside the
+    # lax.cond — reached only when the pivot screen rejects).  This moves
+    # the 42.1% cost item (docs/one-phase.tex:901-912) off the TPU's
+    # emulated-f64 path; measured on ECON250 in results/profile_econ_250.md.
+    fallback_form_f32: bool = False
+    # hi_matvec_f32pair (TPU addition; f64 solves on the schur path): run
+    # the direction/refinement J-matvecs in f32 double-single pairs
+    # (ops/refine.pair_matvec64) instead of emulated f64.  Relative error
+    # ~1e-13 — beyond the 1e-12 refinement target — at ~10x less cost on
+    # TPU, where every f64 op is software-emulated.  Profile-driven: the
+    # direction solve was 3 x 143 ms = 82% of the 524 ms ECON250 outer
+    # iteration (results/profile_econ_250.md).
+    #   "off"; "refine" — pairs inside the refinement loop only
+    #   (direction-level rhs/jdx/KKT-error products stay exact f64: the
+    #   a-posteriori ratio guard is noise-sensitive at the endgame);
+    #   "all" — pairs everywhere (fastest, costs ~15% more iterations
+    #   on ECON50)
+    hi_matvec_f32pair: str = "off"
+    # precond_f32 (TPU addition; invchol/pallas backends, f64 solves): carry
+    # the finalized solve operator M = Q^-1 in f32.  The backsolve is only
+    # ever a preconditioner application (refinement supplies the accuracy),
+    # so f32 M loses nothing while the M-matvec and the triangular-inverse
+    # gram leave the emulated-f64 path.
+    precond_f32: bool = False
     # schur | symmetric | clever_symmetric (reference default :schur), plus
     # TPU addition schur_dual: Woodbury/normal-equations factorization of
     # the (m_orig, m_orig) dual matrix for zero-Hessian LPs with m < n

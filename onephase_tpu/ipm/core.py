@@ -144,6 +144,34 @@ class OnePhaseKernel:
         # fallback mode stores f64 so both branches of the lax.cond agree)
         self.factor_store_dtype = (jnp.float32 if (mixed and fp == "f32")
                                    else self.dtype)
+        # kkt.fallback_form_f32: under f32_fallback, Q is formed/carried in
+        # f32 (MXU) and the exact f64 Q is re-formed lazily inside the
+        # fallback branch (factor()); L stays carried in f64.
+        self._fb_form_f32 = (mixed and fp == "f32_fallback"
+                             and pars.kkt.fallback_form_f32)
+        self.q_store_dtype = (jnp.float32 if self._fb_form_f32
+                              else self.factor_store_dtype)
+        # kkt.hi_matvec_f32pair: direction/refinement J-matvecs of f64
+        # solves run as f32 double-single pairs (ops/refine) — native f32
+        # vector/MXU ops instead of TPU-emulated f64, ~1e-13 accuracy.
+        hip = pars.kkt.hi_matvec_f32pair
+        self._hi_pair = (hip in ("all", "refine")
+                         and self.dtype == jnp.float64
+                         and pars.kkt.kkt_solver_type == "schur")
+        # "all" also routes the direction-level products (schur_rhs, jdx,
+        # a-posteriori KKT-error) through pairs; "refine" keeps those in
+        # exact f64 — the KKT-ratio guard is noise-sensitive at the
+        # endgame (measured +15 ECON50 iterations under "all")
+        self._hi_pair_dir = self._hi_pair and hip == "all"
+        # kkt.precond_f32: the finalized solve operator M is carried f32
+        # (invchol/pallas only — those carry M, not a triangular L).
+        self._precond_f32 = (pars.kkt.precond_f32
+                             and self.dtype == jnp.float64
+                             and pars.kkt.kkt_solver_type == "schur"
+                             and pars.kkt.linear_solver_type
+                             in ("invchol", "pallas"))
+        self.L_store_dtype = (jnp.float32 if self._precond_f32
+                              else self.factor_store_dtype)
 
         # constant-structure fast paths (nlp.NLPSpec.constant_jac/hess):
         # evaluate once here; they fold into the compiled program as
@@ -303,7 +331,7 @@ class OnePhaseKernel:
     # ==================================================================
     # linear algebra: factor + solve (reference: julia.jl:21-97 via CHOLMOD)
     # ==================================================================
-    def factor(self, Q, delta, rescale=None):
+    def factor(self, Q, delta, rescale=None, fact=None):
         """Factor the KKT matrix with perturbation delta on the x-diagonal;
         returns ((L, D), inertia_ok).
 
@@ -344,6 +372,28 @@ class OnePhaseKernel:
             ok = ldlt_mod.inertia_status(d, n, mr)
             return (L, d), ok
         Qd = Q + jnp.asarray(delta).astype(Q.dtype) * jnp.eye(n, dtype=Q.dtype)
+        if self._fb_form_f32 and Q.dtype == jnp.float32:
+            # f32-carried Q (kkt.fallback_form_f32): the f32 attempt
+            # factors Qd directly; the fallback branch re-forms the EXACT
+            # f64 Q from the stored f64 J/H — lazily, only when the pivot
+            # screen rejects (lax.cond branches execute on demand for
+            # unbatched solves).
+            assert fact is not None, "fallback_form_f32 factor() needs fact"
+            L32, ok32 = self._chol_ok(Qd, strict=True)
+
+            def use32(_):
+                return L32.astype(self.dtype), ok32
+
+            def use64(_):
+                Qhi = self.nlp.jtdj_fused(self._fact_jc(fact),
+                                          fact.y_f / fact.s_f,
+                                          self._fact_h(fact))
+                Qhi = Qhi + (jnp.asarray(delta, self.dtype)
+                             * jnp.eye(n, dtype=self.dtype))
+                return self._chol_ok(Qhi)
+
+            L, ok = lax.cond(ok32, use32, use64, None)
+            return (L, jnp.ones(n, self.dtype)), ok
         if (self.pars.kkt.factor_precision == "f32_fallback"
                 and Q.dtype == jnp.float64):
             # mixed-precision with codified fallback: try the f32 MXU
@@ -418,10 +468,18 @@ class OnePhaseKernel:
 
     def fact_jprod(self, fact: Factor, v):
         """Canonical J @ v at the factorization point."""
+        if self._hi_pair_dir and self.nlp.m_orig > 0:
+            from ..ops.refine import pair_matvec64
+            jc_v = pair_matvec64(self._fact_jc(fact), v)
+            return self.nlp.jprod_from(jc_v, v)
         return self.nlp.jprod_mat(self._fact_jc(fact), v)
 
     def fact_jtprod(self, fact: Factor, w):
         """Canonical J^T @ w at the factorization point."""
+        if self._hi_pair_dir and self.nlp.m_orig > 0:
+            from ..ops.refine import pair_matvec64_t
+            wc, bnd = self.nlp.split_canonical(w)
+            return pair_matvec64_t(self._fact_jc(fact), wc) + bnd
         return self.nlp.jtprod_mat(self._fact_jc(fact), w)
 
     def fact_hmul(self, fact: Factor, v):
@@ -448,7 +506,7 @@ class OnePhaseKernel:
         """Value stored in the carried Factor.Q: a (0, 0) placeholder on the
         dense schur path (Q is rebuilt on demand by _fact_q; see __init__)."""
         if self._q_store_placeholder:
-            return jnp.zeros((0, 0), self.factor_store_dtype)
+            return jnp.zeros((0, 0), self.q_store_dtype)
         return Q
 
     def _fact_q(self, fact: Factor):
@@ -466,7 +524,7 @@ class OnePhaseKernel:
         item, docs/one-phase.tex:901-912)."""
         use_pallas = self.pars.kkt.linear_solver_type == "pallas"
         mxu = (jnp.bfloat16 if self.pars.kkt.q_form_dtype == "bf16" else None)
-        fdt = self.factor_store_dtype
+        fdt = self.q_store_dtype
         if fdt != self.dtype:
             # pure mixed mode (kkt.factor_precision="f32"): form Q itself in
             # f32 — the factor is only a preconditioner; refine_solve's
@@ -490,6 +548,11 @@ class OnePhaseKernel:
         if self.kkt_type != "schur":
             return L
         lst = self.pars.kkt.linear_solver_type
+        if self._precond_f32:
+            # M is only ever a preconditioner (refinement supplies the
+            # accuracy): build and carry it in f32 so the inverse gram and
+            # every backsolve matvec run native instead of emulated f64.
+            L = L.astype(jnp.float32)
         if lst == "pallas":
             from ..ops.cholesky import tri_inv_gram_auto
             return tri_inv_gram_auto(L)
@@ -651,6 +714,50 @@ class OnePhaseKernel:
     def _refine_solve_hp(self, fact: Factor, schur_rhs, S_vec):
         from ..ops import refine as dsr
         nlp = self.nlp
+        if self._hi_pair:
+            # f64 solve on TPU: the carry (dx, res) stays plain f64
+            # (eps64 << the 1e-12 target), but the residual matvecs run as
+            # f32 double-single pairs (~1e-13 relative) instead of
+            # emulated f64 — the profile's dominant cost
+            # (results/profile_econ_250.md: direction 3 x 143 ms of a
+            # 524 ms outer).
+            wc, bnd = nlp.split_canonical_sq(S_vec)
+            diag_term = bnd + fact.delta
+
+            def one_pass64(dx, res):
+                dx = dx + self.chol_solve(fact.L, res)
+                if nlp.m_orig > 0:
+                    u = dsr.pair_matvec64(self._fact_jc(fact), dx)
+                    w = dsr.pair_matvec64_t(self._fact_jc(fact), wc * u)
+                else:
+                    w = jnp.zeros_like(dx)
+                h = self.fact_hmul(fact, dx)
+                res = schur_rhs - (w + h + diag_term * dx)
+                return dx, res
+
+            tol = self.pars.kkt.it_refine_tol or 10.0 * float(
+                jnp.finfo(self.dtype).eps)
+            rhs_norm = _norm_inf(schur_rhs)
+            if not self.pars.kkt.it_refine_adaptive:
+                dx, res = jnp.zeros_like(schur_rhs), schur_rhs
+                for _ in range(self.pars.kkt.it_refine_num):
+                    dx, res = one_pass64(dx, res)
+                return dx
+
+            def cond(c):
+                dx, res, i = c
+                return (i < self.pars.kkt.it_refine_max) & (
+                    _norm_inf(res) > tol * rhs_norm)
+
+            def body(c):
+                dx, res, i = c
+                dx, res = one_pass64(dx, res)
+                return dx, res, i + 1
+
+            dx, _, _ = lax.while_loop(
+                cond, body, (jnp.zeros_like(schur_rhs), schur_rhs,
+                             jnp.asarray(0, jnp.int32)))
+            return dx
         wc, bnd = nlp.split_canonical_sq(S_vec)
         diag_term = bnd + fact.delta          # bound rows of J^T D J + delta
         zeros = jnp.zeros_like(schur_rhs)
@@ -841,14 +948,19 @@ class OnePhaseKernel:
 
         def do_zero(_):
             LD0, ok0 = self.factor(fact.Q, jnp.asarray(pars.delta.zero, dt),
-                                   fact.rescale)
+                                   fact.rescale, fact=fact)
             if pars.output_level >= 4:
                 jax.debug.print(
                     "  dsearch zero-try: inertia_ok={ok}", ok=ok0)
             return LD0, ok0, jnp.asarray(1, jnp.int32)
 
         def no_zero(_):
-            return (fact.L, fact.D), jnp.asarray(False), jnp.asarray(0, jnp.int32)
+            # stale-factor placeholder; fact.L carries the FINALIZED M,
+            # which under kkt.precond_f32 is f32 — cast to the raw-factor
+            # dtype so both cond branches agree (the value is only ever
+            # used if every subsequent factorization attempt fails)
+            return ((fact.L.astype(self.factor_store_dtype), fact.D),
+                    jnp.asarray(False), jnp.asarray(0, jnp.int32))
 
         LD, ok0, nfac = lax.cond(try_zero, do_zero, no_zero, None)
         tau_eff = jnp.where(try_zero, 0.0, tau)
@@ -864,7 +976,7 @@ class OnePhaseKernel:
 
         def body(c):
             delta, LD, ok, nfac, i = c
-            LDc, okc = self.factor(fact.Q, delta, fact.rescale)
+            LDc, okc = self.factor(fact.Q, delta, fact.rescale, fact=fact)
             if pars.output_level >= 4:
                 # delta-search trace (delta_strategy.jl:70-76)
                 jax.debug.print(
@@ -1481,7 +1593,8 @@ class OnePhaseKernel:
                                                          old_delta * pars.delta.dec))
                         nd = jnp.where(can_escalate, nd, delta)
                         (Lc, Dc), okc = self.factor(self._fact_q(st_c.fact),
-                                                    nd, st_c.fact.rescale)
+                                                    nd, st_c.fact.rescale,
+                                                    fact=st_c.fact)
                         Lc = self.finalize_solver(Lc)
                         Lk = jax.tree_util.tree_map(
                             lambda new, old: jnp.where(okc, new, old),
@@ -1706,7 +1819,7 @@ class OnePhaseKernel:
             s_t = a
             fact = self.form_factor(p0, cache0, empty_fact, pdata)
             LD0, succ = self.factor(fact.Q, jnp.asarray(pars.delta.start, dt),
-                                    fact.rescale)
+                                    fact.rescale, fact=fact)
             fact = fact._replace(L=self.finalize_solver(LD0[0]), D=LD0[1],
                                  delta=jnp.asarray(pars.delta.start, dt),
                                  ok=succ)
@@ -1809,9 +1922,9 @@ class OnePhaseKernel:
         return Factor(Jc=self._store_jc(jnp.zeros((self.nlp.m_orig, n), dt)),
                       H=self._store_h(jnp.zeros((n, n), dt)),
                       Q=self._store_q(jnp.zeros((N, N),
-                                                self.factor_store_dtype)),
+                                                self.q_store_dtype)),
                       schur_diag=jnp.zeros(n, dt),
-                      L=jnp.eye(N, dtype=self.factor_store_dtype),
+                      L=jnp.eye(N, dtype=self.L_store_dtype),
                       D=jnp.ones(N, self.factor_store_dtype),
                       delta=jnp.asarray(0.0, dt),
                       s_f=jnp.ones(m, dt), y_f=jnp.ones(m, dt),

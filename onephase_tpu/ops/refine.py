@@ -93,3 +93,49 @@ def ds_axpy(alpha, x_hi, x_lo, y_hi, y_lo):
     p, e = two_prod(jnp.broadcast_to(alpha, x_hi.shape), x_hi)
     e = e + alpha * x_lo
     return ds_add(p, e, y_hi, y_lo)
+
+
+# ----------------------------------------------------------------------
+# f32-pair ("double-single") products for f64 SOLVES on TPU.
+#
+# TPUs have no f64 ALU: every f64 op XLA emits is software-emulated, and
+# the profile of the ECON flagship (results/profile_econ_250.md) showed
+# the refinement/direction J-matvecs in emulated f64 dominating the outer
+# iteration (direction 143 ms of a 524 ms outer at m=62751, n=500).
+# Representing the f64 operands as exact f32 (hi, lo) pairs lets the same
+# compensated machinery above run on NATIVE f32 vector ops, with the
+# eps32-magnitude correction term riding the MXU: relative error
+# ~ log(n) * eps32^2 ~ 1e-13 — beyond the 1e-12 refinement target, at
+# roughly a tenth of the emulated-f64 cost.
+# ----------------------------------------------------------------------
+
+def pair_split(A):
+    """Exact f32 (hi, lo) pair representation of an f64 array."""
+    hi = A.astype(jnp.float32)
+    lo = (A - hi.astype(A.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def pair_matvec64(A, x):
+    """(A @ x) for f64 A (m, n), x (n,) -> f64, via f32 double-single.
+
+    hi-hi products are compensated (two_prod + ds tree); the eps32-small
+    cross terms Alo@xh and Ahi@xl are plain f32 MXU matmuls (their own
+    rounding is ~eps32^2 relative to the result).
+    """
+    Ah, Al = pair_split(A)
+    xh, xl = pair_split(x)
+    hi, lo = ds_matvec(Ah, xh, xl)
+    corr = Al @ xh
+    hi, lo = ds_add(hi, lo, corr, jnp.zeros_like(corr))
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def pair_matvec64_t(A, w):
+    """(A.T @ w) for f64 A (m, n), w (m,) -> f64, via f32 double-single."""
+    Ah, Al = pair_split(A)
+    wh, wl = pair_split(w)
+    hi, lo = ds_matvec(Ah.T, wh, wl)
+    corr = Al.T @ wh
+    hi, lo = ds_add(hi, lo, corr, jnp.zeros_like(corr))
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)

@@ -81,6 +81,14 @@ def main():
                 fails.append(f"{cname}/{pname}: {rec['status']}")
             print(f"{cname:>16} {pname:<16} {rec['status']:<18} "
                   f"{'ok' if rec['ok'] else 'MISMATCH'}", flush=True)
+            # incremental write: ~72 serial on-chip compiles make this a
+            # long campaign; a partial table is still evidence
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as fh:
+                json.dump({"device": str(jax.devices()[0]),
+                           "wall_s": round(time.time() - t_all, 1),
+                           "partial": True, "fails": fails,
+                           "table": table}, fh, indent=1)
 
     payload = {
         "device": str(jax.devices()[0]),
