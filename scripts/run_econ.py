@@ -46,6 +46,14 @@ def main():
                     help="outer iterations per jitted chunk (ECON250 on "
                          "the TPU worker needs <= 5: larger while-loop "
                          "programs at m=62k f64 crash the worker)")
+    ap.add_argument("--fast-f64", action="store_true",
+                    help="r5 lane: form Q on the f32 MXU "
+                         "(kkt.fallback_form_f32) and run refinement "
+                         "matvecs as f32 double-single pairs "
+                         "(kkt.hi_matvec_f32pair=refine) — moves the two "
+                         "dominant profile items (results/profile_econ_"
+                         "250.md) off TPU-emulated f64; iteration-neutral "
+                         "on CPU f64 (ECON50 83 vs 84 its)")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +80,10 @@ def main():
         # (iteration counts invariant, measured); the default 10*eps64
         # target costs ~7 f64 J-matvec refinement passes per direction
         "kkt.it_refine_tol": 1e-12}
+    if args.fast_f64:
+        overrides.update({"kkt.fallback_form_f32": True,
+                          "kkt.hi_matvec_f32pair": "refine",
+                          "kkt.it_refine_highprec": True})
     if args.dtype == "f32":
         # f32 solve certified by f64 oracle residuals: the MXU/VPU hot path
         # stays native f32, only the once-per-direction dual residual and

@@ -157,3 +157,46 @@ def test_bf16_q_matches_dense():
     qbf = np.asarray(xla_fused_q(Jc, w, H, bnd, mxu_dtype=jnp.bfloat16))
     scale = np.abs(q32).max()
     assert np.abs(qbf - q32).max() / scale < 3e-2
+
+
+# ---------------------------------------------------------------------------
+# r5 TPU-emulated-f64 escape hatches (profile-driven: the ECON250 outer
+# iteration was 82% direction solves + 13% Q formation, both in emulated
+# f64 on-chip — results/profile_econ_250.md)
+# ---------------------------------------------------------------------------
+
+def test_pair_matvec_accuracy():
+    """ops/refine f32-pair products reproduce f64 matvecs to ~1e-12 even
+    with wide dynamic range in the operands."""
+    from onephase_tpu.ops import refine as r
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(800, 120))
+                    * np.exp(rng.normal(size=(800, 120)) * 3.0))
+    x = jnp.asarray(rng.normal(size=120) * np.exp(rng.normal(size=120) * 3))
+    w = jnp.asarray(rng.normal(size=800))
+    ref1, ref2 = np.asarray(A @ x), np.asarray(A.T @ w)
+    e1 = np.abs(np.asarray(r.pair_matvec64(A, x)) - ref1).max()
+    e2 = np.abs(np.asarray(r.pair_matvec64_t(A, w)) - ref2).max()
+    assert e1 / np.abs(ref1).max() < 1e-12
+    assert e2 / np.abs(ref2).max() < 1e-12
+
+
+@pytest.mark.parametrize("prob", [zoo.toy_lp1, zoo.rosenbrook2,
+                                  zoo.circle_nc1, zoo.toy_lp_inf1],
+                         ids=lambda p: p.__name__)
+def test_fast_f64_lane_parity(prob):
+    """The r5 fast-f64 lane (f32 Q formation with lazy-f64 fallback re-form
+    + f32-pair refinement matvecs) keeps statuses and argmins of the plain
+    f64 solve."""
+    ref = one_phase_solve(canonicalize(prob(), dtype=jnp.float64), _pars())
+    r = one_phase_solve(
+        canonicalize(prob(), dtype=jnp.float64),
+        _pars(**{"kkt!factor_precision": "f32_fallback",
+                 "kkt!fallback_form_f32": True,
+                 "kkt!hi_matvec_f32pair": "refine",
+                 "kkt!linear_solver_type": "invchol",
+                 "kkt!it_refine_highprec": True,
+                 "kkt!it_refine_tol": 1e-12}))
+    assert r.status == ref.status
+    if ref.status == "Optimal":
+        assert np.allclose(np.asarray(ref.x), np.asarray(r.x), atol=2e-5)
