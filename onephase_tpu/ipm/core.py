@@ -958,8 +958,13 @@ class OnePhaseKernel:
             # stale-factor placeholder; fact.L carries the FINALIZED M,
             # which under kkt.precond_f32 is f32 — cast to the raw-factor
             # dtype so both cond branches agree (the value is only ever
-            # used if every subsequent factorization attempt fails)
-            return ((fact.L.astype(self.factor_store_dtype), fact.D),
+            # used if every subsequent factorization attempt fails).
+            # fact.L is a pytree for structured kernels (block factors),
+            # so cast leaf-wise, floats only.
+            L_cast = jax.tree_util.tree_map(
+                lambda a: a.astype(self.factor_store_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, fact.L)
+            return ((L_cast, fact.D),
                     jnp.asarray(False), jnp.asarray(0, jnp.int32))
 
         LD, ok0, nfac = lax.cond(try_zero, do_zero, no_zero, None)

@@ -105,7 +105,7 @@ class SchurDualKernel(OnePhaseKernel):
         wc, bnd = self.nlp.split_canonical_sq(fact.y_f / fact.s_f)
         return (wc, bnd, self._fact_jc(fact))
 
-    def factor(self, Q, delta, rescale=None):
+    def factor(self, Q, delta, rescale=None, fact=None):
         wc, bnd, jc = Q
         jc = self._Jc_const if self._Jc_const is not None else jc
         fdt = self.factor_store_dtype

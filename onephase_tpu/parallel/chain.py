@@ -199,7 +199,7 @@ class ChainKernel(OnePhaseKernel):
         # dense kernel's pallas/invchol finalize paths do not apply
         return L
 
-    def factor(self, Q, delta, rescale=None):
+    def factor(self, Q, delta, rescale=None, fact=None):
         Qd, Qs = Q
         if self.partitions > 1:
             pf = partitioned_factor(Qd, Qs, delta, self.partitions)

@@ -210,7 +210,7 @@ class ScenarioKernel(OnePhaseKernel):
                       L=prev.L, D=prev.D, delta=prev.delta,
                       s_f=p.s, y_f=p.y, ok=jnp.asarray(False))
 
-    def factor(self, Q, delta, rescale=None):
+    def factor(self, Q, delta, rescale=None, fact=None):
         # rescale is a clever_symmetric-only concept; the arrow path never
         # rescales (kkt_system_rescale is ignored for kkt_solver_type=schur).
         Qzz, Qkk, Bk = Q
