@@ -105,6 +105,10 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--sizes", default="256,512,1024,2048")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--density", default="both",
+                    choices=["both", "dense", "netlib"],
+                    help="restrict to one density lane (batch-scaling "
+                         "campaigns target dense, where the MXU wins)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="results/throughput_crossover.json")
     args = ap.parse_args()
@@ -155,7 +159,12 @@ def main():
 
     results = []
     # dense lane first: it is the regime where the MXU should win
-    for density, label in ((0.5, "dense(50%)"), (None, "netlib(~8/row)")):
+    lanes = [(0.5, "dense(50%)"), (None, "netlib(~8/row)")]
+    if args.density == "dense":
+        lanes = lanes[:1]
+    elif args.density == "netlib":
+        lanes = lanes[1:]
+    for density, label in lanes:
         run_lane(sizes, args.batch, density, pars, 128, jnp.float32,
                  label, results)
 
