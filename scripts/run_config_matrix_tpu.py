@@ -24,6 +24,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/config_matrix_tpu.json")
     ap.add_argument("--max-it", type=int, default=81)
+    ap.add_argument("--problems", default=None,
+                    help="comma-separated subset; each on-chip cell costs "
+                         "~2 min of serial tunnel compile, so the default "
+                         "full 9x8 matrix is a ~2.5h campaign — one "
+                         "representative per status class keeps it ~1h")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +63,9 @@ def main():
         "lp_unbd": (zoo.lp_unbd, "dual_infeasible"),
         "unbd_feas": (zoo.unbd_feas, "Optimal"),
     }
+    if args.problems:
+        keep = set(args.problems.split(","))
+        problems = {k: v for k, v in problems.items() if k in keep}
 
     table = {}
     fails = []
