@@ -35,8 +35,16 @@ def main():
                     help="per-lane wall budget; problems past it are "
                          "recorded MAX_TIME (the r3 trust-constr lane "
                          "finished 6/16 in 900s — honesty beats waiting)")
-    ap.add_argument("--out", default="results/nlp_profile.json")
+    ap.add_argument("--large", action="store_true",
+                    help="CUTEst-scale set (n+m ~ 10^2..10^4, the "
+                         "docs/one-phase.tex:896 size window) instead of "
+                         "the small zoo/COPS set; writes "
+                         "results/nlp_profile_large.json unless --out")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("results/nlp_profile_large.json" if args.large
+                    else "results/nlp_profile.json")
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -52,7 +60,27 @@ def main():
     # the NLP set: zoo nonlinear problems + the COPS examples (reference
     # test/problems.jl + benchmark/Examples) — constrained, 2nd-derivative
     # NLPs in the CUTEst small/mid range
-    problems = {
+    if args.large:
+        # CUTEst-scale window (100 <= nvar+ncon <= 10,000,
+        # docs/one-phase.tex:896): constrained 2nd-derivative NLPs from
+        # the in-repo families at the sizes the reference's table spans
+        from onephase_tpu.models.examples import chain_ocp
+        from onephase_tpu.models.tax import tax1d
+        from bench import make_qp
+        problems = {
+            "kissing50d4": kissing(m_pts=50, dim=4),      # n=200, m~1225
+            "electron50": electron(np_=50),               # n=150, m=50
+            "polygon25": largest_small_polygon(nv=25),    # n=48, m~300
+            "maxcut40r6": max_cut(n=40, r=6),             # n=240, m=40
+            "chainocp32": chain_ocp(K=32, nx=8).to_nlpspec(),   # n=256
+            "chainocp128": chain_ocp(K=128, nx=8).to_nlpspec(), # n=1024
+            "econ25": tax1d(na=25),                       # n=73, m=625
+            "econ50": tax1d(na=50),                       # n=148, m=2500
+            "qp1000": make_qp(n=1000, m=500, seed=3),     # n=1000, m=500
+            "qp2000": make_qp(n=2000, m=1000, seed=4),    # n=2000, m=1000
+        }
+    else:
+        problems = {
         "rosenbrook2": zoo.rosenbrook2(), "rosenbrook3": zoo.rosenbrook3(),
         "circle1": zoo.circle1(), "circle2": zoo.circle2(),
         "circle_nc1": zoo.circle_nc1(), "circle_nc2": zoo.circle_nc2(),
@@ -62,10 +90,15 @@ def main():
         "electron12": electron(np_=12),
         "polygon8": largest_small_polygon(nv=8),
         "maxcut12": max_cut(n=12, r=3),
-    }
+        }
     pars = Params().with_overrides({
         "output_level": 0, "term.max_it": args.max_it,
         "term.tol_opt": args.tol})
+
+    import numpy as np
+    dims = {name: {"nvar": int(np.size(spec.x0)),
+                   "ncon": int(np.size(getattr(spec, "lcon", [])))}
+            for name, spec in problems.items()}
 
     lanes = {
         "one_phase": lambda s: one_phase_solve(s, pars),
@@ -122,6 +155,7 @@ def main():
                            "scaling": "none (all lanes)",
                            "dtype": "f64", "platform": "cpu"},
         "failures": fails, "n_problems": len(problems),
+        "dims": dims,
         "iteration_profile": profile, "per_problem": table,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
