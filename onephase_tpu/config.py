@@ -199,6 +199,22 @@ class TermParams:
     # bucket driver treats like MAX_IT (CPU-f64 escalation).  0 = off.
     stall_patience: int = 0
     stall_rtol: float = 0.02
+    # TPU addition: resolution-limited recession-ray certificate.  The
+    # reference certifies unboundedness via ||x||_inf > 1/tol_unbounded
+    # (terminate.jl:3-23); reaching 1e12 requires the delta/inertia search
+    # to admit delta ~ 1e-12 on the near-singular ray Schur complement.
+    # On TPU, f64 is emulated and the Cholesky pivot screen floors delta
+    # ~1e5x higher (measured on zoo lp_unbd: delta floor 3e-7 on-chip vs
+    # 1e-12 on CPU), capping ray growth at ~||rhs||/delta per iteration —
+    # the iterate provably rides the recession ray (full steps, primal
+    # feasible, mu frozen) but cannot reach 1e12 in max_it.  When
+    # unbounded_ray_patience > 0: an instance with NO progress in
+    # mu + max_violation for that many outer iterations whose
+    # ||x||_inf > unbounded_ray_norm while max_violation < tol_inf_1 is
+    # certified dual_infeasible.  The instantaneous reference criterion
+    # stays primary; this classifies only persistent feasible divergence.
+    unbounded_ray_patience: int = 40
+    unbounded_ray_norm: float = 1e8
 
 
 @dataclass(frozen=True)

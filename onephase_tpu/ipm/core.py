@@ -1692,21 +1692,37 @@ class OnePhaseKernel:
             do = (st.status == RUNNING) & (st.step_ok if not first
                                            else jnp.asarray(True))
             st = lax.cond(do, run, lambda s: s, st)
-        if self.pars.term.stall_patience > 0:
+        term = self.pars.term
+        if term.stall_patience > 0 or term.unbounded_ray_patience > 0:
+            # shared no-progress tracker for the stall exit and the
+            # recession-ray certificate
+            prog = st.p.mu + (-jnp.minimum(0.0, jnp.min(st.cache.a)))
+            improved = prog < st.best_prog * (1.0 - term.stall_rtol)
+            best = jnp.where(improved, prog, st.best_prog)
+            last_t = jnp.where(improved, st.t, st.last_prog_t)
+            st = st._replace(best_prog=best, last_prog_t=last_t)
+        if term.unbounded_ray_patience > 0:
+            # resolution-limited recession ride -> dual_infeasible (see
+            # TermParams.unbounded_ray_patience): persistent no-progress +
+            # diverged iterate + primal feasible.  Checked BEFORE the stall
+            # exit so a ray-stalled instance certifies instead of
+            # escalating.
+            max_vio = -jnp.minimum(0.0, jnp.min(st.cache.a))
+            ray = ((st.status == RUNNING)
+                   & (st.t - st.last_prog_t >= term.unbounded_ray_patience)
+                   & (_norm_inf(st.p.x) > term.unbounded_ray_norm)
+                   & (max_vio < term.tol_inf_1))
+            st = st._replace(status=jnp.where(ray, DUAL_INFEASIBLE,
+                                              st.status).astype(jnp.int32))
+        if term.stall_patience > 0:
             # per-instance stall exit (term.stall_patience): an f32-floor-
             # limited instance stops improving mu + max_vio long before
             # max_it; release it as STALLED so a masked batch is not held
             # hostage by its slowest straggler (buckets escalates it to f64)
-            prog = st.p.mu + (-jnp.minimum(0.0, jnp.min(st.cache.a)))
-            improved = prog < st.best_prog * (1.0 - self.pars.term.stall_rtol)
-            best = jnp.where(improved, prog, st.best_prog)
-            last_t = jnp.where(improved, st.t, st.last_prog_t)
             stalled = ((st.status == RUNNING)
-                       & (st.t - last_t >= self.pars.term.stall_patience))
-            st = st._replace(
-                best_prog=best, last_prog_t=last_t,
-                status=jnp.where(stalled, STALLED,
-                                 st.status).astype(jnp.int32))
+                       & (st.t - st.last_prog_t >= term.stall_patience))
+            st = st._replace(status=jnp.where(stalled, STALLED,
+                                              st.status).astype(jnp.int32))
         return st._replace(t=st.t + 1)
 
     def _run_chunk(self, st: State) -> State:
@@ -1902,9 +1918,13 @@ class OnePhaseKernel:
                    tot_num_fac=jnp.asarray(0, jnp.int32),
                    cum_fac=nfac, bvals=bvals, pdata=pdata,
                    best_prog=(jnp.asarray(jnp.inf, dt)
-                              if pars.term.stall_patience > 0 else None),
+                              if pars.term.stall_patience > 0
+                              or pars.term.unbounded_ray_patience > 0
+                              else None),
                    last_prog_t=(jnp.asarray(0, jnp.int32)
-                                if pars.term.stall_patience > 0 else None))
+                                if pars.term.stall_patience > 0
+                                or pars.term.unbounded_ray_patience > 0
+                                else None))
         # init factorization failure -> MAX_DELTA (reference errors out)
         st = st._replace(status=jnp.where(succ, RUNNING, MAX_DELTA).astype(jnp.int32))
         # termination check at the starting point (one_phase.jl:152-166)

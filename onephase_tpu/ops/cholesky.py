@@ -240,11 +240,59 @@ def pallas_chol_inv(Q, interpret: bool = None):
     return pallas_tri_inv_gram(L, interpret=interpret), d, ok
 
 
+def blocked_tri_inv(L, block: int = 256):
+    """L^-1 for lower-triangular L via block-column recursion on a single
+    loop-carried buffer.
+
+    XLA:TPU's TriangularSolveExpander lowers solve_triangular(L, I) on an
+    (n, n) RHS into a staircase of per-128-block partial concatenations
+    that buffer assignment cannot alias — at n=2048, batch 96 those
+    partials alone are ~10 GiB of HLO temps and the program OOMs HBM at
+    COMPILE time (`results/compile_2048.md`, the bench-sweep b>=128 crash).
+    This routine replaces it: invert the diagonal blocks (one batched
+    small solve), then fill the strictly-lower block columns with MXU
+    matmuls + in-place dynamic-update-slice on one (n, n) buffer, which
+    XLA aliases.  Cost is the same O(n^3/3) flops; peak extra memory is
+    O(n*block) instead of O(n^2 * n/128)."""
+    n = L.shape[-1]
+    if n <= block:
+        eye = jnp.eye(n, dtype=L.dtype)
+        return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    nb = -(-n // block)
+    n_p = nb * block
+    if n_p != n:
+        Lp = jnp.zeros(L.shape[:-2] + (n_p, n_p), L.dtype)
+        Lp = Lp.at[..., :n, :n].set(L)
+        idx = jnp.arange(n, n_p)
+        Lp = Lp.at[..., idx, idx].set(1.0)
+        L = Lp
+    # batched inversion of the nb diagonal blocks (small solves: the
+    # expander staircase is harmless at (block, block))
+    diag = jnp.stack([L[..., j * block:(j + 1) * block,
+                        j * block:(j + 1) * block] for j in range(nb)],
+                     axis=-3)
+    eye_b = jnp.broadcast_to(jnp.eye(block, dtype=L.dtype), diag.shape)
+    dinv = jax.scipy.linalg.solve_triangular(diag, eye_b, lower=True)
+    X = jnp.zeros_like(L)
+    for j in range(nb):
+        X = X.at[..., j * block:(j + 1) * block,
+                 j * block:(j + 1) * block].set(dinv[..., j, :, :])
+    # left-looking fill: X[i,j] = -Dinv[i] @ L[i, j..i-1] @ X[j..i-1, j]
+    for j in range(nb):
+        c0, c1 = j * block, (j + 1) * block
+        for i in range(j + 1, nb):
+            r0, r1 = i * block, (i + 1) * block
+            S = L[..., r0:r1, c0:r0] @ X[..., c0:r0, c0:c1]
+            X = X.at[..., r0:r1, c0:c1].set(
+                -(dinv[..., i, :, :] @ S))
+    return X[..., :n, :n] if n_p != n else X
+
+
 def xla_chol_inv_from_L(L):
-    """XLA fallback for the finalize step: M = L^-T L^-1 via one
-    triangular solve against the identity + a Gram matmul."""
-    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
-    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    """XLA fallback for the finalize step: M = L^-T L^-1 via blocked
+    triangular inversion + a Gram matmul (see blocked_tri_inv for why not
+    solve_triangular against the identity)."""
+    Li = blocked_tri_inv(L)
     return jnp.swapaxes(Li, -1, -2) @ Li
 
 

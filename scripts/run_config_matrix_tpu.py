@@ -43,7 +43,12 @@ def main():
     configs = {
         "schur_xla": {},
         "schur_invchol": {"kkt.linear_solver_type": "invchol"},
-        "schur_pallas": {"kkt.linear_solver_type": "pallas"},
+        # the pallas backend is wired to the structured kernels (the dense
+        # Schur kernel's hand-written batched chol lost to XLA and was
+        # deleted in r3, results/profile_kernels_tpu.md) — exercise it
+        # through the banded kernel, its real dispatch path
+        "banded_pallas": {"kkt.kkt_solver_type": "banded",
+                          "kkt.linear_solver_type": "pallas"},
         "schur_f32fb": {"kkt.factor_precision": "f32_fallback"},
         "symmetric_ldlt": {"kkt.kkt_solver_type": "symmetric"},
         "clever_ldlt": {"kkt.kkt_solver_type": "clever_symmetric"},

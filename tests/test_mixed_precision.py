@@ -89,15 +89,25 @@ def test_f32_factor_infeasible_certificate():
 def test_f32_fallback_unbounded_certificate():
     """The race to ||x|| -> 1/tol_unbounded needs factorizations with
     cond(Q) beyond f32; "f32_fallback" codifies the f64 fallback rule
-    (VERDICT item 3: 'codify the fallback rule where it can't')."""
+    (VERDICT item 3: 'codify the fallback rule where it can't').  With the
+    instantaneous criterion alone (unbounded_ray_patience=0), pure f32
+    cannot certify; the r5 recession-ray certificate
+    (results/unbounded_ray_note.md) closes that gap for every lane."""
     pure = one_phase_solve(canonicalize(zoo.lp_unbd(), dtype=jnp.float64),
-                           _pars(**{"kkt!factor_precision": "f32"}))
-    assert pure.status != "dual_infeasible"  # pure f32 cannot certify this
+                           _pars(**{"kkt!factor_precision": "f32",
+                                    "term!unbounded_ray_patience": 0}))
+    assert pure.status != "dual_infeasible"  # the 1e12 race needs f64
     fb = one_phase_solve(canonicalize(zoo.lp_unbd(), dtype=jnp.float64),
-                         _pars(**{"kkt!factor_precision": "f32_fallback"}))
+                         _pars(**{"kkt!factor_precision": "f32_fallback",
+                                  "term!unbounded_ray_patience": 0}))
     r64 = one_phase_solve(canonicalize(zoo.lp_unbd(), dtype=jnp.float64),
-                          _pars())
+                          _pars(**{"term!unbounded_ray_patience": 0}))
     assert fb.status == r64.status == "dual_infeasible"
+    # ray certificate: persistent feasible divergence certifies even the
+    # pure-f32 factor lane (delta floored far above 1e-12)
+    ray = one_phase_solve(canonicalize(zoo.lp_unbd(), dtype=jnp.float64),
+                          _pars(**{"kkt!factor_precision": "f32"}))
+    assert ray.status == "dual_infeasible"
 
 
 def test_residual_precision_f64_runs_and_is_honest():
