@@ -287,3 +287,26 @@ def test_it_refine_adaptive_direction_parity(base_pars):
         assert rs[0].status == rs[1].status == "Optimal"
         assert rs[0].iterations == rs[1].iterations
         assert np.allclose(rs[0].x, rs[1].x, atol=1e-7)
+
+
+def test_blocked_tri_inv():
+    """blocked_tri_inv vs direct inverse: square/padded sizes, batched,
+    custom block size (the n=2048 compile-OOM fix, results/compile_2048.md)."""
+    from onephase_tpu.ops.cholesky import blocked_tri_inv, xla_chol_inv_from_L
+    rng = np.random.default_rng(11)
+    for n, block in ((100, 256), (256, 128), (300, 128), (513, 128)):
+        A = rng.normal(size=(n, n))
+        L = np.linalg.cholesky(A @ A.T + n * np.eye(n))
+        Li = np.asarray(blocked_tri_inv(jnp.asarray(L), block=block))
+        np.testing.assert_allclose(Li, np.linalg.inv(L), atol=1e-9 * n)
+        # strictly lower triangular output
+        assert np.abs(np.triu(Li, 1)).max() == 0.0
+        M = np.asarray(xla_chol_inv_from_L(jnp.asarray(L)))
+        np.testing.assert_allclose(M @ (L @ L.T), np.eye(n), atol=1e-8 * n)
+    # batched leading axis
+    Ls = np.stack([np.linalg.cholesky(
+        (lambda B: B @ B.T + 64 * np.eye(64))(rng.normal(size=(64, 64))))
+        for _ in range(3)])
+    Lis = np.asarray(blocked_tri_inv(jnp.asarray(Ls), block=32))
+    for k in range(3):
+        np.testing.assert_allclose(Lis[k], np.linalg.inv(Ls[k]), atol=1e-7)
