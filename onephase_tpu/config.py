@@ -230,6 +230,17 @@ class DeltaParams:
     # static bound on factorization attempts inside the jitted inertia search
     # (reference MAX_IT=500, delta_strategy.jl:40; 8^70 from 1e-12 covers 1e50)
     max_it: int = 80
+    # lag_cap (TPU addition): multiplicative cap on the `lag_delta_inc`
+    # failure response delta <- ||grad L||_inf/||dx||_inf (one_phase.jl:
+    # 234-240).  The reference's jump is unbounded: with an already-large
+    # delta the direction norm is ~||rhs||/delta, so one line-search
+    # failure can send delta from 1e7 to 1e36 in a single step, after
+    # which directions are ~0, no-op steps get accepted, and delta only
+    # anneals back at `dec`=1/pi per outer iteration — a measured
+    # ~250-iteration freeze of the mu clock on the grouped-ECON endgame.
+    # lag_cap bounds the jump to lag_cap * max(delta, delta.start);
+    # inf reproduces the reference exactly (the default).
+    lag_cap: float = float("inf")
 
 
 @dataclass(frozen=True)

@@ -1586,6 +1586,14 @@ class OnePhaseKernel:
                         dxn = _norm_inf(direction.x)
                         lag_term = jnp.where((dxn > 0) & jnp.isfinite(gl / dxn),
                                              gl / dxn, 0.0)
+                        if pars.delta.lag_cap != float("inf"):
+                            # bounded jump (delta.lag_cap, TPU addition):
+                            # see config.py — prevents the one-step
+                            # delta->1e36 black hole on endgame LS failures
+                            lag_term = jnp.minimum(
+                                lag_term,
+                                pars.delta.lag_cap
+                                * jnp.maximum(delta, pars.delta.start))
                         if pars.test.response_to_failure == "lag_delta_inc":
                             nd = jnp.maximum(
                                 lag_term,

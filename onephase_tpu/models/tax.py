@@ -72,7 +72,7 @@ def tax1d(na: int = 50, mu_exp: float = 1.0, lam: float = 1.0) -> NLPSpec:
 
 
 def tax_grouped(G: int = 8, na_g: int = 16, mu_exp: float = 1.0,
-                lam: float = 1.0):
+                lam: float = 1.0, wage_spread: str = "additive"):
     """Block-angular ECON variant for the arrow-KKT path
     (parallel/scenario.py): G agent groups (regions), each with its own
     wage grid and WITHIN-group incentive-compatibility rows, coupled
@@ -89,9 +89,22 @@ def tax_grouped(G: int = 8, na_g: int = 16, mu_exp: float = 1.0,
     from ..parallel.scenario import TwoStageSpec
 
     mu1 = mu_exp + 1.0
-    # per-group wage grids: group g covers wages offset by g
-    w = np.stack([np.linspace(1.0 + g, float(na_g) + g, na_g)
-                  for g in range(G)])              # (G, na_g)
+    # per-group wage grids.  "additive": group g covers wages offset by g
+    # (the original design) — note the RELATIVE within-group spread shrinks
+    # like 1/g, so at large G the high groups' incentive-compatibility rows
+    # become near-parallel and the dual endgame degenerates (measured at
+    # G=64: scaled dual feasibility plateaus above tol and one line-search
+    # failure sends delta into the lag_delta_inc spiral; see
+    # delta.lag_cap in config.py and __graft_entry__).  "banded": group g
+    # reuses the wage band of g % 8 — every group has the conditioning of
+    # the small-G case that converges robustly, while the block count (and
+    # the sharded arrow structure) still scales with G.
+    if wage_spread == "banded":
+        w = np.stack([np.linspace(1.0 + (g % 8), float(na_g) + (g % 8),
+                                  na_g) for g in range(G)])   # (G, na_g)
+    else:
+        w = np.stack([np.linspace(1.0 + g, float(na_g) + g, na_g)
+                      for g in range(G)])          # (G, na_g)
     iu = np.nonzero(~np.eye(na_g, dtype=bool))
     iu_r = jnp.asarray(iu[0])
     iu_c = jnp.asarray(iu[1])
